@@ -1,0 +1,48 @@
+"""Decoder front-end: configuration + dispatch.
+
+Knobs mirror the reference CLI contract (``NB_LDPC.c:105-111``): iteration
+budget, nm truncation, offset, plus TPU-native choices (schedule, CN
+backend, dtype).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..models.code import NBCode
+from .flooding import decode_flooding
+from .graph import DeviceGraph
+from .layered import decode_layered
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    max_iters: int = 10
+    schedule: str = "layered"   # "layered" | "flooding"
+    cn: str = "ems"             # "minsum" (dense exact) | "ems" (nm-truncated)
+    nm: int = 0                 # 0 -> no truncation (pure min-sum)
+    offset: float = 0.3         # saturation offset (reference arg 6)
+    dtype: str = "float32"
+
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
+    """intrinsic: [F, N, q] min-normalized cost tensor.
+
+    Returns (decide [F, N] int32, iters [F] int32, converged [F] bool).
+    """
+    g = (
+        code_or_graph
+        if isinstance(code_or_graph, DeviceGraph)
+        else DeviceGraph.from_code(code_or_graph)
+    )
+    intrinsic = intrinsic.astype(cfg.jnp_dtype())
+    kw = dict(max_iters=cfg.max_iters, nm=cfg.nm, offset=cfg.offset, cn=cfg.cn)
+    if cfg.schedule == "flooding":
+        return decode_flooding(g, intrinsic, **kw)
+    if cfg.schedule == "layered":
+        return decode_layered(g, intrinsic, **kw)
+    raise ValueError(cfg.schedule)

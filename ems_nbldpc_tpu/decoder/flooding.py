@@ -1,0 +1,138 @@
+"""Flooding-schedule EMS/min-sum decoder, batched over frames.
+
+One iteration updates *all* M check nodes from the previous iteration's
+messages — the maximally parallel schedule (the reference's layered loop at
+``NB_LDPC.c:313-472`` is the serial special case; see layered.py for the
+TPU super-layer version).  All tensors are ``[F, ..., q]`` with F = frames.
+
+Early termination: the per-frame syndrome check (``NB_LDPC.c:468-471``,
+``tools.c:284-299``) becomes a convergence mask; decisions latch at the first
+syndrome-zero iteration and the loop exits when every frame has converged
+(or the iteration budget is spent).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.minconv import fb_checknode_dense, delta_message, ems_truncate
+from .graph import DeviceGraph
+
+
+def _vn_totals(g: DeviceGraph, intrinsic, ctov_pad):
+    """APP totals: intrinsic + sum of incident CtoV.  [F, N, q]."""
+    inc = ctov_pad[:, g.col_edges]          # [F, N, dv, q]
+    return intrinsic + inc.sum(axis=2)
+
+
+def _rows_from_edges(g: DeviceGraph, x_pad):
+    """[F, E+1, q] -> [F, M, dc, q] via static row-edge gather."""
+    return x_pad[:, g.row_edges]
+
+
+def _edges_from_rows(g: DeviceGraph, x_rows):
+    """[F, M, dc, q] -> [F, E, q]."""
+    return x_rows[:, g.code.edge_row, g.edge_slot]
+
+
+def _rotate_in(g: DeviceGraph, vtoc):
+    """msg over c -> msg over u = h*c: out[u] = in[h^-1 u]."""
+    idx = jnp.asarray(g.inv_rot, jnp.int32)[None]
+    return jnp.take_along_axis(vtoc, idx, axis=-1)
+
+
+def _rotate_out(g: DeviceGraph, mcv_r):
+    """msg over u -> msg over c: out[c] = in[h*c]."""
+    idx = jnp.asarray(g.rot, jnp.int32)[None]
+    return jnp.take_along_axis(mcv_r, idx, axis=-1)
+
+
+def syndrome_ok(g: DeviceGraph, decide):
+    """[F, N] hard decisions -> [F] bool all-checks-satisfied.
+
+    u_e = h_e * decide[col_e] via the rotation permutation; XOR-reduce per
+    row (GF add = XOR in poly rep).  TPU-native ``Syndrom`` (tools.c:284-299).
+    """
+    sym = decide[:, g.edge_col]                              # [F, E]
+    rot = jnp.asarray(g.rot, jnp.int32)
+    u = jnp.take_along_axis(rot[None], sym[..., None], axis=-1)[..., 0]
+    u_pad = jnp.pad(u, ((0, 0), (0, 1)))                     # pad edge -> 0
+    u_rows = u_pad[:, g.row_edges]                           # [F, M, dc]
+    synd = u_rows[..., 0]
+    for i in range(1, u_rows.shape[-1]):
+        synd = synd ^ u_rows[..., i]
+    return jnp.all(synd == 0, axis=-1)
+
+
+def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str):
+    """Shared CN step: rotate in, dense F/B min-conv, rotate out.
+
+    vtoc: [F, E, q] min-normalized variable-to-check messages.
+    Returns mcv [F, E, q].
+    """
+    q = g.q
+    f = vtoc.shape[0]
+    if cn == "ems" and nm < q:
+        vtoc = ems_truncate(vtoc, nm, offset)
+    vr = _rotate_in(g, vtoc)
+    pad = delta_message((f, 1), q, vr.dtype)
+    vr_pad = jnp.concatenate([vr, pad], axis=1)
+    vr_rows = _rows_from_edges(g, vr_pad)                    # [F, M, dc, q]
+    valid = None if g.regular else jnp.asarray(g.edge_valid_row)[None]
+    mcv_rows = fb_checknode_dense(vr_rows, valid)
+    mcv_r = _edges_from_rows(g, mcv_rows)
+    mcv = _rotate_out(g, mcv_r)
+    if cn == "ems" and nm < q:
+        # output saturation: entries beyond the nm best are clamped to
+        # (nm-th best + offset), the dense-expansion fill rule of
+        # bubble_decoder.c:262-278
+        mcv = ems_truncate(mcv, nm, offset)
+    return mcv - jnp.min(mcv, axis=-1, keepdims=True)
+
+
+def decode_flooding(
+    g: DeviceGraph,
+    intrinsic,               # [F, N, q] min-cost, normalized
+    max_iters: int,
+    nm: int = 0,
+    offset: float = 0.0,
+    cn: str = "minsum",      # "minsum" (dense-exact) | "ems" (nm-truncated)
+):
+    """Returns (decide [F,N] int32, iters [F] int32, converged [F] bool)."""
+    f, n, q = intrinsic.shape
+    e = g.n_edges
+    ctov_pad0 = jnp.zeros((f, e + 1, q), intrinsic.dtype)
+
+    def compute_decide(ctov_pad):
+        app = _vn_totals(g, intrinsic, ctov_pad)
+        return jnp.argmin(app, axis=-1).astype(jnp.int32)
+
+    d0 = compute_decide(ctov_pad0)
+    conv0 = syndrome_ok(g, d0)
+
+    def cond(state):
+        it, _, _, conv, _ = state
+        return (it < max_iters) & ~jnp.all(conv)
+
+    def body(state):
+        it, ctov_pad, decide, conv, iters = state
+        tot = _vn_totals(g, intrinsic, ctov_pad)
+        vtoc = tot[:, g.edge_col] - ctov_pad[:, :e]
+        vtoc = vtoc - jnp.min(vtoc, axis=-1, keepdims=True)
+        mcv = checknode(g, vtoc, nm, offset, cn)
+        active = ~conv
+        ctov_new = jnp.where(
+            active[:, None, None],
+            jnp.pad(mcv, ((0, 0), (0, 1), (0, 0))),
+            ctov_pad,
+        )
+        d_new = compute_decide(ctov_new)
+        decide = jnp.where(active[:, None], d_new, decide)
+        now_ok = syndrome_ok(g, decide)
+        conv_new = conv | now_ok
+        iters = iters + active.astype(jnp.int32)
+        return it + 1, ctov_new, decide, conv_new, iters
+
+    state = (jnp.int32(0), ctov_pad0, d0, conv0, jnp.zeros(f, jnp.int32))
+    _, _, decide, conv, iters = jax.lax.while_loop(cond, body, state)
+    return decide, iters, conv

@@ -1,0 +1,223 @@
+"""Channel models + intrinsic-LLR demappers, batched in JAX.
+
+Reference behaviors reproduced (see ``/root/reference/channel.c``):
+
+* BPSK-AWGN with the Eb/N0 sigma convention
+  ``sigma = sqrt(1 / (2 * rate * 10^(EbN/10)))`` (``channel.c:51``) and
+  per-symbol intrinsic cost
+  ``sum_bits (y_b - bpsk(bit_b(g)))^2 / (2 sigma^2)`` (``channel.c:66-76``).
+* 2-D QAM / rotated-QAM / APSK constellations with the SNR convention
+  ``sigma = sqrt(1 / (2 * 10^(EbN/10)))`` (``channel.c:231,598``), optional
+  Rayleigh fading, per-component SSD fading and symbol erasures
+  (``channel.c:588-594,648-672``).
+
+TPU-first demapping: the BPSK cost expands to an affine function of the bit
+image, so the whole demapper is one MXU matmul::
+
+    cost[g] = C + (2/sigma^2) * sum_b y_b * bit_b(g)
+
+(the constant C cancels under min-normalization).  2-D/4-D constellations use
+the gram trick ``|y - x_g|^2 = |y|^2 - 2 y.x_g + |x_g|^2`` — again a matmul
+against the constellation table.
+
+Symbols use the framework's polynomial representation: bit b of symbol g is
+bit b of the integer g (LSB first), replacing the reference's BINGF lookup.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gf import get_gf
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelSpec:
+    """What to simulate between encoder and decoder."""
+    kind: str = "bpsk"            # bpsk | qam | apsk64 | qam256_4d
+    sigma_convention: str = "ebn0"  # ebn0 (channel.c:51) | snr (channel.c:598)
+    rotated: bool = False          # rotated QAM (channel.c:348-357)
+    rayleigh: bool = False         # Rayleigh fading per 2-D symbol
+    ssd: bool = False              # per-component fading (SSD)
+    erasure_prob: float = 0.0      # component erasures (channel.c:592-594)
+
+
+def sigma_for(spec: ChannelSpec, ebn0_db: float, rate: float) -> float:
+    snr_lin = 10.0 ** (ebn0_db / 10.0)
+    if spec.sigma_convention == "ebn0":
+        return float(np.sqrt(1.0 / (2.0 * rate * snr_lin)))
+    return float(np.sqrt(1.0 / (2.0 * snr_lin)))
+
+
+@functools.lru_cache(maxsize=None)
+def bit_matrix(q: int) -> np.ndarray:
+    """[q, m] float: bit image (LSB-first) of each poly-rep symbol."""
+    return get_gf(q).bits(np.arange(q)).astype(np.float32)
+
+
+def bpsk_awgn(key, cw, q: int, sigma: float, dtype=jnp.float32):
+    """BPSK-modulate + AWGN; return (intrinsic_cost [F,N,q], y [F,N,m]).
+
+    cw: [F, N] poly-rep codeword symbols.
+    intrinsic_cost is min-normalized per symbol (best entry = 0), matching
+    the decoder convention; the reference's sorted list + full-cost pair
+    (channel.c:78-91) is recovered by ``lax.top_k(-cost)``.
+    """
+    m = q.bit_length() - 1
+    bits = ((cw[..., None] >> jnp.arange(m)) & 1).astype(dtype)   # [F,N,m]
+    tx = 1.0 - 2.0 * bits
+    noise = jax.random.normal(key, tx.shape, dtype=dtype)
+    y = tx + sigma * noise
+    return intrinsic_from_bpsk(y, q, sigma), y
+
+
+def intrinsic_from_bpsk(y, q: int, sigma: float):
+    """cost[.., g] = sum_b (y_b - (1-2 g_b))^2 / (2 sigma^2), min-normalized.
+
+    Expanded: cost[g] = C + (2/sigma^2) * sum_b g_b * y_b  — one matmul.
+    """
+    bmat = jnp.asarray(bit_matrix(q), dtype=y.dtype)              # [q, m]
+    lin = (2.0 / (sigma * sigma)) * jnp.einsum(
+        "...b,gb->...g", y, bmat, preferred_element_type=jnp.float32
+    )
+    return lin - jnp.min(lin, axis=-1, keepdims=True)
+
+
+# ---------------- 2-D constellations ----------------
+
+def _gray(n: int) -> np.ndarray:
+    a = np.arange(n)
+    return a ^ (a >> 1)
+
+
+@functools.lru_cache(maxsize=None)
+def constellation(kind: str, q: int, rotated: bool = False) -> np.ndarray:
+    """[q, 2] unit-average-power constellation points, Gray-mapped.
+
+    Generated programmatically (square QAM grids, DVB-S2X 64-APSK rings)
+    rather than shipping coordinate tables; the reference's inline tables
+    (``include/channel.h:55-1471``, ``channel.c:132-221``) describe the same
+    standard constellations up to bit-labeling.
+    """
+    if kind == "qam":
+        side = int(round(np.sqrt(q)))
+        assert side * side == q, "QAM needs square q"
+        pam = 2 * np.arange(side) - (side - 1)
+        # Gray map: low bits -> I index, high bits -> Q index
+        gi = np.argsort(_gray(side))
+        pts = np.zeros((q, 2))
+        for g in range(q):
+            i_idx = gi[g % side]
+            q_idx = gi[g // side]
+            pts[g] = (pam[i_idx], pam[q_idx])
+    elif kind == "apsk64":
+        # DVB-S2X 64-APSK 8+16+20+20 (reference channel.c:132-198): four
+        # rings with standard radius ratios (gamma for rate 132/180).
+        counts = [8, 16, 20, 20]
+        radii = [1.0, 2.2, 3.6, 5.2]
+        pts = []
+        for c, r in zip(counts, radii):
+            ang = 2 * np.pi * (np.arange(c) + 0.5) / c
+            pts.extend([(r * np.cos(a), r * np.sin(a)) for a in ang])
+        pts = np.array(pts)
+    else:
+        raise ValueError(kind)
+    if rotated:
+        th = np.deg2rad(31.7)  # channel.c:348-357 rotation angle
+        rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        pts = pts @ rot.T
+    # unit average power (channel.c:205-221)
+    pts = pts / np.sqrt((pts ** 2).sum(axis=1).mean())
+    return pts.astype(np.float32)
+
+
+def channel_2d(key, cw, q: int, sigma: float, spec: ChannelSpec,
+               dtype=jnp.float32):
+    """Generic 2-D modulated channel: QAM/rotated-QAM/APSK with optional
+    Rayleigh, SSD per-component fading and erasures.
+
+    Returns min-normalized intrinsic cost [F, N, q].
+    Reference counterpart: ``ModelChannel`` (channel.c:328-746) and
+    ``ModelChannel_AWGN_64`` (channel.c:112-312).
+    """
+    kind = "apsk64" if spec.kind == "apsk64" else "qam"
+    pts = jnp.asarray(constellation(kind, q, spec.rotated))       # [q, 2]
+    x = pts[cw]                                                   # [F, N, 2]
+    knoise, kfade, kerase = jax.random.split(key, 3)
+    noise = sigma * jax.random.normal(knoise, x.shape, dtype=dtype)
+
+    if spec.ssd:
+        # independent per-component Rayleigh fades (channel.c:648-672)
+        u = jax.random.uniform(kfade, x.shape, dtype=dtype, minval=1e-12)
+        att = jnp.sqrt(-jnp.log(u))
+    elif spec.rayleigh:
+        u = jax.random.uniform(kfade, x.shape[:-1] + (1,), dtype=dtype,
+                               minval=1e-12)
+        att = jnp.sqrt(-jnp.log(u))
+    else:
+        att = jnp.ones_like(x)
+    if spec.erasure_prob > 0.0:
+        er = jax.random.bernoulli(kerase, spec.erasure_prob, x.shape)
+        att = jnp.where(er, 0.0, att)
+
+    y = att * x + noise
+    # cost[g] = |y - att*x_g|^2 / (2 sigma^2); with fading the receiver knows
+    # att (coherent detection, as in the reference) so the candidate points
+    # are att-scaled too.
+    xg = att[..., None, :] * pts[None, None, :, :]                # [F,N,q,2]
+    d2 = jnp.sum((y[..., None, :] - xg) ** 2, axis=-1)
+    cost = d2 / (2.0 * sigma * sigma)
+    return cost - jnp.min(cost, axis=-1, keepdims=True)
+
+
+def qam256_4d(key, cw, sigma: float, spec: ChannelSpec, dtype=jnp.float32):
+    """GF(256) symbols as two 16QAM uses (4 real dimensions).
+
+    Reference: ``ModelChannel_AWGN_256QAM_4D`` (channel.c:749-929) — the
+    symbol's low nibble picks the first 16QAM point, high nibble the second,
+    and the intrinsic cost is the 4-D distance.  SSD fading/erasures apply
+    per 2-D component as in ``channel_2d``.
+    """
+    pts16 = jnp.asarray(constellation("qam", 16, spec.rotated))   # [16, 2]
+    lo = cw & 0xF
+    hi = cw >> 4
+    x = jnp.concatenate([pts16[lo], pts16[hi]], axis=-1)          # [F,N,4]
+    knoise, kfade, kerase = jax.random.split(key, 3)
+    noise = sigma * jax.random.normal(knoise, x.shape, dtype=dtype)
+    if spec.ssd:
+        u = jax.random.uniform(kfade, x.shape[:-1] + (2,), dtype=dtype,
+                               minval=1e-12)
+        att2 = jnp.sqrt(-jnp.log(u))
+    else:
+        att2 = jnp.ones(x.shape[:-1] + (2,), dtype=dtype)
+    if spec.erasure_prob > 0.0:
+        er = jax.random.bernoulli(kerase, spec.erasure_prob,
+                                  x.shape[:-1] + (2,))
+        att2 = jnp.where(er, 0.0, att2)
+    att = jnp.repeat(att2, 2, axis=-1)
+    y = att * x + noise
+    # candidate 4-D points for all 256 symbols
+    gl = jnp.arange(256) & 0xF
+    gh = jnp.arange(256) >> 4
+    cand = jnp.concatenate([pts16[gl], pts16[gh]], axis=-1)       # [256, 4]
+    xg = att[..., None, :] * cand[None, None, :, :]
+    d2 = jnp.sum((y[..., None, :] - xg) ** 2, axis=-1)
+    cost = d2 / (2.0 * sigma * sigma)
+    return cost - jnp.min(cost, axis=-1, keepdims=True)
+
+
+def simulate(key, cw, q: int, spec: ChannelSpec, ebn0_db: float, rate: float):
+    """Dispatch to the right channel model; returns intrinsic cost [F,N,q]."""
+    sigma = sigma_for(spec, ebn0_db, rate)
+    if spec.kind == "bpsk":
+        cost, _ = bpsk_awgn(key, cw, q, sigma)
+        return cost
+    if spec.kind in ("qam", "apsk64"):
+        return channel_2d(key, cw, q, sigma, spec)
+    if spec.kind == "qam256_4d":
+        return qam256_4d(key, cw, sigma, spec)
+    raise ValueError(spec.kind)

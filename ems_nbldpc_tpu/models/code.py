@@ -27,7 +27,7 @@ from ..gf import GF, get_gf
 from .formats import ParsedMatrix, parse
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)  # id-hash: cacheable by identity
 class NBCode:
     """A non-binary LDPC code over GF(2^m), ready for batched decoding."""
 

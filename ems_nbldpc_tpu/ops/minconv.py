@@ -1,0 +1,110 @@
+"""Dense min-convolution over the XOR group GF(2)^m — the check-node core.
+
+The EMS check node computes, for each output symbol ``s``, the cheapest way
+to write ``s`` as an XOR of one symbol from each input message (reference:
+forward/backward recursion of ``CheckPassLogEMS``,
+``/root/reference/bubble_decoder.c:72-305``, built from 2-input
+``ElementaryStep`` merges).  The C code approximates each 2-input merge with a
+sequential 8-bubble extract-min loop (``bubble_decoder.c:316-593``) — a
+CPU-ism.  On TPU the same 2-input merge is a *dense tropical convolution*:
+
+    out[s] = min_a (A[a] + B[a ^ s])
+
+which is a superset of every bubble/L-bubble approximation (SURVEY.md §7.3):
+it examines all q^2 candidate pairs instead of a bubble-bounded subset, at
+perfectly regular VPU cost with zero data-dependent control flow.
+
+``nm``-truncation semantics (EMS) are recovered by saturating inputs outside
+their best-``nm`` entries before the convolution and clamping outputs — see
+:func:`ems_truncate`.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = 1e9  # "unreachable" cost; reference uses 1e5 (bubble_decoder.c:107)
+
+
+@functools.lru_cache(maxsize=None)
+def _xor_table(q: int) -> np.ndarray:
+    a = np.arange(q)
+    return (a[:, None] ^ a[None, :]).astype(np.int32)
+
+
+def minconv_xor(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Tropical XOR-convolution: out[..., s] = min_t a[..., t] + b[..., t^s].
+
+    ``a``/``b``: [..., q]. The [q, q] XOR gather table is a trace-time
+    constant, so XLA fuses gather + add + min-reduce without materializing
+    the q×q intermediate per row.
+    """
+    q = a.shape[-1]
+    xt = jnp.asarray(_xor_table(q))
+    bx = b[..., xt]                      # [..., q_t, q_s]
+    return jnp.min(a[..., :, None] + bx, axis=-2)
+
+
+def delta_message(shape, q: int, dtype=jnp.float32) -> jax.Array:
+    """Identity element of minconv: cost 0 at symbol 0, INF elsewhere."""
+    base = jnp.full((q,), INF, dtype=dtype).at[0].set(0.0)
+    return jnp.broadcast_to(base, tuple(shape) + (q,))
+
+
+def ems_truncate(v: jax.Array, nm: int, offset: float) -> jax.Array:
+    """Saturate a dense min-cost message outside its best ``nm`` entries.
+
+    Mirrors the information available to the reference CN after the
+    sort-truncate at ``NB_LDPC.c:354-374``: entries beyond the nm-th best are
+    replaced by ``(nm-th best) + offset`` — the same fill rule the reference
+    applies when re-densifying CN outputs (``bubble_decoder.c:262-278``).
+    """
+    q = v.shape[-1]
+    if nm >= q:
+        return v
+    # nm-th smallest along the last axis (top_k on negated values)
+    kth = -jax.lax.top_k(-v, nm)[0][..., -1:]
+    sat = kth + offset
+    return jnp.minimum(v, sat)
+
+
+def fb_checknode_dense(vr: jax.Array, valid: jax.Array | None = None) -> jax.Array:
+    """Forward/backward dense CN over the dc axis.
+
+    vr: [..., dc, q] rotated input messages (min-cost, XOR constraint).
+    valid: optional [..., dc] bool — False entries are padding (treated as
+    the delta message so they contribute nothing and their outputs are
+    meaningless but well-defined).
+
+    Returns mcv_r: [..., dc, q], the extrinsic output for each input slot.
+    Cost: 3*(dc-2) minconvs, matching the reference op structure
+    (``bubble_decoder.c:97,166-227``) but each a dense q^2 kernel.
+    """
+    dc = vr.shape[-2]
+    q = vr.shape[-1]
+    if valid is not None:
+        neutral = delta_message(vr.shape[:-1], q, vr.dtype)
+        vr = jnp.where(valid[..., None], vr, neutral)
+    if dc == 1:
+        return delta_message(vr.shape[:-1], q, vr.dtype)
+    if dc == 2:
+        return vr[..., ::-1, :]
+    msgs = [vr[..., i, :] for i in range(dc)]
+    fwd = [msgs[0]]
+    bwd = [msgs[-1]]
+    for i in range(1, dc - 1):
+        fwd.append(minconv_xor(fwd[-1], msgs[i]))
+        bwd.append(minconv_xor(bwd[-1], msgs[dc - 1 - i]))
+    bwd = bwd[::-1]  # bwd[i] = conv of msgs[i+1..dc-1] at position i
+    outs = [bwd[0]]
+    # middle outputs: batch the dc-2 merge convolutions in one call
+    if dc > 2:
+        f_stack = jnp.stack(fwd[: dc - 2], axis=-2)       # fwd of 0..i-1
+        b_stack = jnp.stack(bwd[1: dc - 1], axis=-2)      # bwd of i+1..dc-1
+        mid = minconv_xor(f_stack, b_stack)               # [..., dc-2, q]
+        outs.extend([mid[..., i, :] for i in range(dc - 2)])
+    outs.append(fwd[-1])
+    return jnp.stack(outs, axis=-2)

@@ -1,10 +1,16 @@
 import os
 
-# Must run before jax is imported anywhere: tests run on a virtual 8-device
+# Must run before jax is backend-initialized: tests run on a virtual 8-device
 # CPU mesh so multi-chip sharding is exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# (The environment pins JAX_PLATFORMS=axon for the tunneled TPU; tests
+# override it — real-TPU benchmarks run outside pytest.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

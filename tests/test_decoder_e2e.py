@@ -1,0 +1,103 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ems_nbldpc_tpu.decoder import DecoderConfig, decode
+from ems_nbldpc_tpu.decoder.graph import DeviceGraph
+from ems_nbldpc_tpu.decoder.flooding import syndrome_ok
+from ems_nbldpc_tpu.models import registry
+from ems_nbldpc_tpu.models.channels import bpsk_awgn, sigma_for, ChannelSpec
+from ems_nbldpc_tpu.models.encoder import gaussian_elimination, syndrome_np
+
+
+def _setup(name="Mat24_N48_M24", frames=32, ebn0=3.0, seed=0):
+    code = registry.get_code(name)
+    enc = gaussian_elimination(code)
+    rng = np.random.default_rng(seed)
+    info = rng.integers(0, code.q, size=(frames, code.k))
+    cw = enc.encode_np(info)
+    sigma = sigma_for(ChannelSpec(), ebn0, code.rate)
+    key = jax.random.PRNGKey(seed)
+    intrinsic, _ = bpsk_awgn(key, jnp.asarray(cw), code.q, sigma)
+    return code, cw, intrinsic
+
+
+def test_syndrome_ok_device_matches_numpy():
+    code, cw, _ = _setup(frames=4)
+    g = DeviceGraph.from_code(code)
+    ok = np.asarray(syndrome_ok(g, jnp.asarray(cw, jnp.int32)))
+    assert ok.all()
+    bad = cw.copy()
+    bad[:, 3] ^= 5
+    ok2 = np.asarray(syndrome_ok(g, jnp.asarray(bad, jnp.int32)))
+    assert not ok2.any()
+    assert np.array_equal(syndrome_np(code, bad) > 0, ~ok2)
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+@pytest.mark.parametrize("cn", ["minsum", "ems"])
+def test_decode_corrects_at_high_snr(schedule, cn):
+    code, cw, intrinsic = _setup(frames=64, ebn0=4.0)
+    cfg = DecoderConfig(
+        max_iters=20, schedule=schedule, cn=cn, nm=12, offset=0.3
+    )
+    decide, iters, conv = jax.jit(
+        lambda x: decode(code, x, cfg)
+    )(intrinsic)
+    decide = np.asarray(decide)
+    fer = (decide != cw).any(axis=1).mean()
+    assert np.asarray(conv).mean() > 0.9
+    assert fer < 0.1
+    # converged frames satisfy the parity check
+    assert np.all(syndrome_np(code, decide)[np.asarray(conv)] == 0)
+    # most frames converge quickly at 4 dB
+    assert np.asarray(iters).mean() < 6
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+def test_noiseless_decodes_immediately(schedule):
+    code, cw, _ = _setup(frames=8)
+    q = code.q
+    # perfect LLRs: 0 for the true symbol, big for the rest
+    intr = np.full((8, code.n, q), 50.0, np.float32)
+    intr[np.arange(8)[:, None], np.arange(code.n)[None], cw] = 0.0
+    cfg = DecoderConfig(max_iters=5, schedule=schedule, cn="minsum")
+    decide, iters, conv = decode(code, jnp.asarray(intr), cfg)
+    assert np.array_equal(np.asarray(decide), cw)
+    assert np.all(np.asarray(iters) == 0)
+    assert np.all(np.asarray(conv))
+
+
+def test_layered_converges_faster_than_flooding():
+    code, cw, intrinsic = _setup(frames=96, ebn0=3.0, seed=5)
+    out = {}
+    for schedule in ["flooding", "layered"]:
+        cfg = DecoderConfig(max_iters=30, schedule=schedule, cn="minsum")
+        _, iters, conv = decode(code, intrinsic, cfg)
+        out[schedule] = np.asarray(iters)[np.asarray(conv)].mean()
+    assert out["layered"] <= out["flooding"]
+
+
+def test_irregular_rows_padding():
+    from ems_nbldpc_tpu.models.code import from_parsed
+    from ems_nbldpc_tpu.models.formats import ParsedMatrix
+
+    # hand-built irregular code over GF(16): rows of degree 3 and 2
+    rows = [np.array([0, 1, 2]), np.array([1, 3]), np.array([0, 3, 4]),
+            np.array([2, 4])]
+    coefs = [np.array([1, 3, 7]), np.array([2, 5]), np.array([4, 9, 1]),
+             np.array([6, 8])]
+    parsed = ParsedMatrix(5, 4, 16, rows, coefs)
+    code = from_parsed(parsed, name="tiny_irr")
+    enc = gaussian_elimination(code)
+    info = np.arange(4).reshape(4, 1) % 16
+    cw = enc.encode_np(info)
+    assert np.all(syndrome_np(code, cw) == 0)
+    intr = np.full((4, 5, 16), 30.0, np.float32)
+    intr[np.arange(4)[:, None], np.arange(5)[None], cw] = 0.0
+    for schedule in ["flooding", "layered"]:
+        cfg = DecoderConfig(max_iters=4, schedule=schedule, cn="minsum")
+        decide, _, conv = decode(code, jnp.asarray(intr), cfg)
+        assert np.array_equal(np.asarray(decide), cw)
+        assert np.all(np.asarray(conv))
