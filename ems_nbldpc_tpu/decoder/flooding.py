@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.minconv import fb_checknode_dense, delta_message, ems_truncate
+from ..ops.minconv import (fb_checknode_dense, delta_message,
+                           ems_input_truncate, ems_output_saturate)
 from .graph import DeviceGraph
 
 
@@ -73,7 +74,7 @@ def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str):
     q = g.q
     f = vtoc.shape[0]
     if cn == "ems" and nm < q:
-        vtoc = ems_truncate(vtoc, nm, offset)
+        vtoc = ems_input_truncate(vtoc, nm)
     vr = _rotate_in(g, vtoc)
     pad = delta_message((f, 1), q, vr.dtype)
     vr_pad = jnp.concatenate([vr, pad], axis=1)
@@ -86,7 +87,7 @@ def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str):
         # output saturation: entries beyond the nm best are clamped to
         # (nm-th best + offset), the dense-expansion fill rule of
         # bubble_decoder.c:262-278
-        mcv = ems_truncate(mcv, nm, offset)
+        mcv = ems_output_saturate(mcv, nm, offset)
     return mcv - jnp.min(mcv, axis=-1, keepdims=True)
 
 

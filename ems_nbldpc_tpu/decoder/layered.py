@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.minconv import fb_checknode_dense, delta_message, ems_truncate
+from ..ops.minconv import (fb_checknode_dense, delta_message,
+                           ems_input_truncate, ems_output_saturate)
 from .flooding import syndrome_ok, _vn_totals
 from .graph import DeviceGraph
 
@@ -87,14 +88,16 @@ def decode_layered(
             mvc = app_rows - ctov_rows
             mvc = mvc - jnp.min(mvc, axis=-1, keepdims=True)
             if truncate:
-                mvc = ems_truncate(mvc, nm, offset)
-            vr = jnp.take_along_axis(mvc, inv_rot, axis=-1)
+                mvc_cn = ems_input_truncate(mvc, nm)
+            else:
+                mvc_cn = mvc
+            vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
             mcv_r = fb_checknode_dense(vr)
             mcv = jnp.take_along_axis(mcv_r, rot, axis=-1)
             if truncate:
-                mcv = ems_truncate(mcv, nm, offset)
+                mcv = ems_output_saturate(mcv, nm, offset)
             mcv = mcv - jnp.min(mcv, axis=-1, keepdims=True)
             # freeze converged frames (their APP/CtoV stop changing)
             mcv = jnp.where(active[:, None, None, None], mcv, ctov_rows)

@@ -1,1 +1,6 @@
-from .minconv import minconv_xor, fb_checknode_dense  # noqa: F401
+from .minconv import (  # noqa: F401
+    ems_input_truncate,
+    ems_output_saturate,
+    fb_checknode_dense,
+    minconv_xor,
+)

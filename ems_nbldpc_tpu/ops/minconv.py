@@ -54,21 +54,34 @@ def delta_message(shape, q: int, dtype=jnp.float32) -> jax.Array:
     return jnp.broadcast_to(base, tuple(shape) + (q,))
 
 
-def ems_truncate(v: jax.Array, nm: int, offset: float) -> jax.Array:
-    """Saturate a dense min-cost message outside its best ``nm`` entries.
+def ems_input_truncate(v: jax.Array, nm: int) -> jax.Array:
+    """Exclude everything outside the best ``nm`` entries of a message.
 
-    Mirrors the information available to the reference CN after the
-    sort-truncate at ``NB_LDPC.c:354-374``: entries beyond the nm-th best are
-    replaced by ``(nm-th best) + offset`` — the same fill rule the reference
-    applies when re-densifying CN outputs (``bubble_decoder.c:262-278``).
+    Mirrors the sort-truncate at ``NB_LDPC.c:354-374``: the reference CN
+    only ever *sees* the nm best (value, GF) pairs of each VtoC message —
+    symbols beyond the list can never participate in a candidate sum.  In
+    dense form that is a hard exclusion (cost = INF), NOT an offset
+    saturation (which would wrongly make tail symbols look cheap).
     """
     q = v.shape[-1]
     if nm >= q:
         return v
-    # nm-th smallest along the last axis (top_k on negated values)
     kth = -jax.lax.top_k(-v, nm)[0][..., -1:]
-    sat = kth + offset
-    return jnp.minimum(v, sat)
+    return jnp.where(v <= kth, v, INF)
+
+
+def ems_output_saturate(v: jax.Array, nm: int, offset: float) -> jax.Array:
+    """Clamp a dense CN output to its nm best entries + offset saturation.
+
+    The reference keeps at most nm CN outputs and re-densifies with fill
+    value ``(last kept) + offset`` (``bubble_decoder.c:262-278``).  Densely:
+    every entry above the nm-th best collapses to ``nm-th best + offset``.
+    """
+    q = v.shape[-1]
+    if nm >= q:
+        return v
+    kth = -jax.lax.top_k(-v, nm)[0][..., -1:]
+    return jnp.minimum(v, kth + offset)
 
 
 def fb_checknode_dense(vr: jax.Array, valid: jax.Array | None = None) -> jax.Array:

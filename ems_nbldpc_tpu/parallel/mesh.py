@@ -1,0 +1,92 @@
+"""Multi-chip Monte-Carlo: frames sharded over a device mesh.
+
+The reference scales out by forking one OS process per SNR point
+(``/root/reference/start.sh:18-22``) with no inter-process communication.
+The TPU-native replacement (SURVEY.md §2.5): frames are i.i.d., so the frame
+axis shards perfectly over a ``jax.sharding.Mesh``; per-batch error counters
+are reduced with ``psum`` over ICI and only five scalars ever reach the host,
+where the stop-at-K-errors rule runs.  Multi-host slices just extend the
+mesh — same program, DCN-aware collectives courtesy of XLA.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.code import NBCode
+from ..sim.mc import SimConfig, make_batch_step
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D frame-sharding mesh over the available (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("frames",))
+
+
+def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
+    """Build a jitted step: key -> global counters [5] (psum-reduced).
+
+    ``cfg.frames_per_batch`` is the *per-device* batch; each device draws an
+    independent PRNG stream by folding in its mesh position.
+    """
+    step, enc = make_batch_step(code, cfg)
+    n_dev = mesh.devices.size
+
+    def device_step(key):
+        # distinct stream per mesh position
+        idx = jax.lax.axis_index("frames")
+        counters, _ = step(jax.random.fold_in(key, idx))
+        return jax.lax.psum(counters, axis_name="frames")
+
+    fn = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=P(),          # same key everywhere; fold_in differentiates
+        out_specs=P(),         # fully replicated reduced counters
+        check_vma=False,       # while_loop carries start replicated, become
+        #                        device-varying after the first iteration
+    )
+    jitted = jax.jit(fn)
+
+    def run_step(key):
+        return jitted(key)
+
+    run_step.n_devices = n_dev
+    run_step.encoder = enc
+    return run_step
+
+
+def run_sharded(code: NBCode, cfg: SimConfig, mesh: Mesh,
+                verbose: bool = False):
+    """Monte-Carlo loop over the mesh; mirrors sim.mc.MonteCarlo.run."""
+    import time
+
+    from ..sim.mc import SimResult
+
+    step = sharded_batch_step(code, cfg, mesh)
+    totals = np.zeros(5, dtype=np.int64)
+    key = jax.random.PRNGKey(cfg.seed)
+    t0 = time.perf_counter()
+    b = 0
+    while totals[0] < cfg.max_frames and totals[1] < cfg.stop_errors:
+        counters = step(jax.random.fold_in(key, b))
+        totals += np.asarray(counters, dtype=np.int64)
+        b += 1
+        if verbose:
+            print(f"\rFER={totals[1]}/{totals[0]}", end="", flush=True)
+    elapsed = time.perf_counter() - t0
+    if verbose:
+        print()
+    return SimResult(
+        frames=int(totals[0]), frame_errors=int(totals[1]),
+        bit_errors=int(totals[2]), undetected_errors=int(totals[3]),
+        iter_sum=int(totals[4]), elapsed_s=elapsed, config=cfg,
+        code_name=code.name, n=code.n, k=code.k, logq=code.logq,
+    )

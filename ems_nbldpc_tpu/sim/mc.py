@@ -1,0 +1,202 @@
+"""Monte-Carlo FER/BER harness — the TPU replacement for the reference's
+``main`` simulation loop (``/root/reference/NB_LDPC.c:250-511``) and the
+per-SNR process forking of ``start.sh``.
+
+One jitted *batch step* runs the full chain for thousands of frames at once:
+source → encode → channel → decode → error accounting.  The host loop only
+accumulates scalar counters and applies the stop-at-K-erroneous-frames rule
+(``NB_LDPC.c:506``; default 40 like the reference).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoder.api import DecoderConfig, decode
+from ..decoder.graph import DeviceGraph
+from ..models.channels import ChannelSpec, sigma_for, simulate
+from ..models.code import NBCode
+from ..models.encoder import Encoder, gaussian_elimination
+from ..utils.stats import wilson_ci
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    ebn0_db: float
+    frames_per_batch: int = 1024
+    max_frames: int = 1_000_000
+    stop_errors: int = 40          # NB_LDPC.c:506
+    seed: int = 5                  # reference srand(5), NB_LDPC.c:89
+    channel: ChannelSpec = ChannelSpec()
+    decoder: DecoderConfig = DecoderConfig()
+    encode: str = "device"         # "device" (bit-matmul) | "zero" (all-zero
+    #                                codeword; valid for symmetric channels)
+
+
+@dataclasses.dataclass
+class SimResult:
+    frames: int
+    frame_errors: int
+    bit_errors: int
+    undetected_errors: int
+    iter_sum: int
+    elapsed_s: float
+    config: SimConfig
+    code_name: str
+    n: int = 0
+    k: int = 0
+    logq: int = 0
+
+    @property
+    def fer(self) -> float:
+        return self.frame_errors / max(self.frames, 1)
+
+    @property
+    def ber(self) -> float:
+        return self.bit_errors / max(self.frames * self.k * self.logq, 1)
+
+    @property
+    def fer_ci(self):
+        return wilson_ci(self.frame_errors, max(self.frames, 1))
+
+    @property
+    def avg_iters(self) -> float:
+        return self.iter_sum / max(self.frames, 1)
+
+    @property
+    def frames_per_s(self) -> float:
+        return self.frames / max(self.elapsed_s, 1e-9)
+
+    @property
+    def info_mbps(self) -> float:
+        return self.frames_per_s * self.k * self.logq / 1e6
+
+    def to_dict(self) -> dict:
+        return dict(
+            code=self.code_name, ebn0_db=self.config.ebn0_db,
+            frames=self.frames, frame_errors=self.frame_errors,
+            bit_errors=self.bit_errors, undetected=self.undetected_errors,
+            fer=self.fer, ber=self.ber, fer_ci=list(self.fer_ci),
+            avg_iters=self.avg_iters, frames_per_s=self.frames_per_s,
+            info_mbps=self.info_mbps, elapsed_s=self.elapsed_s,
+            schedule=self.config.decoder.schedule, cn=self.config.decoder.cn,
+            nm=self.config.decoder.nm, offset=self.config.decoder.offset,
+            max_iters=self.config.decoder.max_iters,
+        )
+
+
+def _popcount(x):
+    # portable popcount for small ints (logq <= 8 bits)
+    c = jnp.zeros_like(x)
+    for b in range(8):
+        c = c + ((x >> b) & 1)
+    return c
+
+
+def make_batch_step(code: NBCode, cfg: SimConfig,
+                    enc: Optional[Encoder] = None):
+    """Build the jittable per-batch simulation step: key -> counters.
+
+    Returns (step_fn, encoder). Counters: [frames, frame_errors, bit_errors,
+    undetected, iter_sum] as int32 vector.
+    """
+    g = DeviceGraph.from_code(code)
+    q, n, k, logq = code.q, code.n, code.k, code.logq
+    f = cfg.frames_per_batch
+    rate = code.rate
+
+    if cfg.encode == "device":
+        if enc is None:
+            enc = gaussian_elimination(code)
+        pmat = np.asarray(enc.bit_generator, np.float32)
+        perm = enc.perm
+        shifts = np.arange(logq, dtype=np.int32)
+
+        def make_codeword(kinfo):
+            info_bits = jax.random.bernoulli(kinfo, 0.5, (f, k * logq))
+            ib = info_bits.astype(jnp.float32)
+            par_bits = jnp.mod(
+                jnp.round(ib @ jnp.asarray(pmat)).astype(jnp.int32), 2
+            )
+            par_syms = (
+                par_bits.reshape(f, code.m_rows, logq)
+                << shifts[None, None]
+            ).sum(-1)
+            info_syms = (
+                info_bits.astype(jnp.int32).reshape(f, k, logq)
+                << shifts[None, None]
+            ).sum(-1)
+            cw = jnp.zeros((f, n), jnp.int32)
+            cw = cw.at[:, perm[: code.m_rows]].set(par_syms)
+            cw = cw.at[:, perm[code.m_rows:]].set(info_syms)
+            return cw
+    elif cfg.encode == "zero":
+        def make_codeword(kinfo):
+            return jnp.zeros((f, n), jnp.int32)
+    else:
+        raise ValueError(cfg.encode)
+
+    def step(key):
+        kinfo, kchan = jax.random.split(key)
+        cw = make_codeword(kinfo)
+        intrinsic = simulate(kchan, cw, q, cfg.channel, cfg.ebn0_db, rate)
+        decide, iters, conv = decode(g, intrinsic, cfg.decoder)
+        # reference error convention (NB_LDPC.c:479-497): bit errors over
+        # the first K codeword symbols' binary images
+        diff = decide[:, :k] ^ cw[:, :k]
+        bit_err = _popcount(diff).sum(axis=1)
+        frame_err = (bit_err > 0)
+        undetected = frame_err & conv
+        return jnp.array([
+            f,
+            frame_err.sum(),
+            bit_err.sum(),
+            undetected.sum(),
+            iters.sum(),
+        ], jnp.int32), frame_err
+
+    return step, enc
+
+
+class MonteCarlo:
+    """Host-side accumulation loop with early stopping."""
+
+    def __init__(self, code: NBCode, cfg: SimConfig,
+                 enc: Optional[Encoder] = None, jit: bool = True):
+        self.code = code
+        self.cfg = cfg
+        step, self.enc = make_batch_step(code, cfg, enc)
+        self.step = jax.jit(step) if jit else step
+
+    def run(self, verbose: bool = False) -> SimResult:
+        cfg = self.cfg
+        totals = np.zeros(5, dtype=np.int64)
+        key = jax.random.PRNGKey(cfg.seed)
+        t0 = time.perf_counter()
+        batch_idx = 0
+        while totals[0] < cfg.max_frames and totals[1] < cfg.stop_errors:
+            counters, _ = self.step(jax.random.fold_in(key, batch_idx))
+            totals += np.asarray(counters, dtype=np.int64)
+            batch_idx += 1
+            if verbose:
+                fer = totals[1] / max(totals[0], 1)
+                print(
+                    f"\r<{totals[3]}> FER= {totals[1]} / {totals[0]} "
+                    f"= {fer:.3g} avg_it={totals[4]/max(totals[0],1):.2f}",
+                    end="", flush=True,
+                )
+        elapsed = time.perf_counter() - t0
+        if verbose:
+            print()
+        return SimResult(
+            frames=int(totals[0]), frame_errors=int(totals[1]),
+            bit_errors=int(totals[2]), undetected_errors=int(totals[3]),
+            iter_sum=int(totals[4]), elapsed_s=elapsed, config=cfg,
+            code_name=self.code.name, n=self.code.n, k=self.code.k,
+            logq=self.code.logq,
+        )

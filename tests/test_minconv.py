@@ -7,7 +7,8 @@ import pytest
 from ems_nbldpc_tpu.ops.minconv import (
     INF,
     delta_message,
-    ems_truncate,
+    ems_input_truncate,
+    ems_output_saturate,
     fb_checknode_dense,
     minconv_xor,
 )
@@ -71,12 +72,15 @@ def test_fb_checknode_padding_neutral():
     np.testing.assert_allclose(out_pad[..., :4, :], out_ref, rtol=1e-5)
 
 
-def test_ems_truncate():
+def test_ems_truncation_rules():
     v = jnp.asarray(np.array([[0.0, 5.0, 1.0, 9.0, 2.0, 7.0, 3.0, 8.0]],
                              dtype=np.float32))
-    out = np.asarray(ems_truncate(v, nm=4, offset=0.5))
+    out = np.asarray(ems_output_saturate(v, nm=4, offset=0.5))
     # 4 best kept (0,1,2,3), everything else clamped to 3 + 0.5
     np.testing.assert_allclose(out[0], [0, 3.5, 1, 3.5, 2, 3.5, 3, 3.5])
+    trunc = np.asarray(ems_input_truncate(v, nm=4))
+    # 4 best kept, everything else excluded (INF)
+    np.testing.assert_allclose(trunc[0], [0, INF, 1, INF, 2, INF, 3, INF])
 
 
 def test_dc2_passthrough():
