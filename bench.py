@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Driver benchmark: one JSON line with the headline metric.
+
+Measures steady-state full-chain Monte-Carlo throughput (source -> encode ->
+AWGN-BPSK -> layered EMS decode -> error accounting) on the reference's
+default sweep code (KN N576_K480_GF64, start.sh:7-12) at Eb/N0 = 3.5 dB with
+the reference's EMS settings (10 it, nm=30, offset=0.3), and compares with
+the single-core C reference binary at the identical operating point.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from benchmarks.c_baseline import measure as c_measure
+    from ems_nbldpc_tpu.decoder.api import DecoderConfig
+    from ems_nbldpc_tpu.models import registry
+    from ems_nbldpc_tpu.sim.mc import MonteCarlo, SimConfig
+
+    matrix = "KN/N576_K480_GF64.txt"
+    ebn0 = 3.5
+    frames_per_batch = 8192
+
+    code = registry.get_code(matrix)
+    cfg = SimConfig(
+        ebn0_db=ebn0,
+        frames_per_batch=frames_per_batch,
+        max_frames=frames_per_batch,
+        stop_errors=10**9,
+        decoder=DecoderConfig(
+            max_iters=10, schedule="layered", cn="ems", nm=30, offset=0.3
+        ),
+    )
+    mc = MonteCarlo(code, cfg)
+    mc.run()  # warmup + compile
+    t0 = time.perf_counter()
+    batches = 4
+    total = 0
+    fer_stats = np.zeros(2)
+    for _ in range(batches):
+        r = mc.run()
+        total += r.frames
+        fer_stats += [r.frame_errors, r.frames]
+    elapsed = time.perf_counter() - t0
+    fps = total / elapsed
+    fer = fer_stats[0] / fer_stats[1]
+
+    cres = c_measure(matrix, ebn0, frames=2000)
+    c_fps = cres["frames_per_s"] if cres else None
+    vs = fps / c_fps if c_fps else None
+
+    result = {
+        "metric": "frames/s full MC chain, N576_K480_GF64 layered EMS "
+                  "nm=30 @3.5dB, 1 chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "extra": {
+            "fer": round(float(fer), 5),
+            "c_fer": round(cres["fer"], 5) if cres else None,
+            "c_frames_per_s": round(c_fps, 1) if c_fps else None,
+            "info_mbps": round(fps * code.k * code.logq / 1e6, 2),
+            "device": str(jax.devices()[0]),
+            "frames_per_batch": frames_per_batch,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Build + time the C reference decoder as the bench baseline.
+
+BASELINE.md: the reference publishes no numbers, so the framework measures
+its own C baseline (single core, gcc -O3) at the bench operating point.
+Results are cached in /tmp so repeated bench runs stay fast.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import time
+
+REF = "/root/reference"
+BUILD = "/tmp/nbldpc_ref_build"
+CACHE = "/tmp/nbldpc_c_baseline.json"
+
+
+def ensure_built() -> str | None:
+    """Compile the reference (KN-format build) once; return binary path."""
+    exe = os.path.join(BUILD, "essai_kn")
+    if os.path.exists(exe):
+        return exe
+    if not os.path.isdir(REF):
+        return None
+    try:
+        shutil.copytree(REF, BUILD, dirs_exist_ok=True)
+        os.makedirs(os.path.join(BUILD, "obj"), exist_ok=True)
+        os.makedirs(os.path.join(BUILD, "data"), exist_ok=True)
+        subprocess.run(["make"], cwd=BUILD, capture_output=True)
+        objs = [f"obj/{o}.o" for o in
+                ["init", "tools", "channel", "bubble_decoder",
+                 "syndrome_decoder", "NB_LDPC"]]
+        subprocess.run(
+            ["gcc", "-O3", "-o", "essai_kn", *objs, "-lm"],
+            cwd=BUILD, check=True, capture_output=True,
+        )
+        return exe
+    except Exception:
+        return None
+
+
+def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
+            nm: int = 30, offset: float = 0.3, nboper: int = 45) -> dict | None:
+    """Time the C binary; returns dict with frames/s and FER, or None."""
+    key = f"{matrix}:{ebn0}:{frames}:{iters}:{nm}:{offset}:{nboper}"
+    cache = {}
+    if os.path.exists(CACHE):
+        try:
+            cache = json.load(open(CACHE))
+        except Exception:
+            cache = {}
+    if key in cache:
+        return cache[key]
+    exe = ensure_built()
+    if exe is None:
+        return None
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run(
+            [exe, str(frames), str(iters), f"./matrices/{matrix}",
+             str(ebn0), str(nm), str(offset), str(nboper)],
+            cwd=BUILD, stdin=subprocess.DEVNULL, capture_output=True,
+            timeout=1200, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    dt = time.perf_counter() - t0
+    m = re.findall(r"FER= (\d+) / (\d+)", out.stdout)
+    if not m:
+        return None
+    errs, nsim = map(int, m[-1])
+    res = dict(
+        frames=nsim, frame_errors=errs, fer=errs / max(nsim, 1),
+        elapsed_s=dt, frames_per_s=nsim / dt,
+    )
+    cache[key] = res
+    json.dump(cache, open(CACHE, "w"))
+    return res
