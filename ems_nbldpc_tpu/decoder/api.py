@@ -23,6 +23,7 @@ class DecoderConfig:
     cn: str = "ems"             # "minsum" (dense exact) | "ems" (nm-truncated)
     nm: int = 0                 # 0 -> no truncation (pure min-sum)
     offset: float = 0.3         # saturation offset (reference arg 6)
+    cn_impl: str = "auto"       # elementary-step impl: dense | topk | auto
     dtype: str = "float32"
 
     def jnp_dtype(self):
@@ -40,7 +41,8 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
         else DeviceGraph.from_code(code_or_graph)
     )
     intrinsic = intrinsic.astype(cfg.jnp_dtype())
-    kw = dict(max_iters=cfg.max_iters, nm=cfg.nm, offset=cfg.offset, cn=cfg.cn)
+    kw = dict(max_iters=cfg.max_iters, nm=cfg.nm, offset=cfg.offset,
+              cn=cfg.cn, cn_impl=cfg.cn_impl)
     if cfg.schedule == "flooding":
         return decode_flooding(g, intrinsic, **kw)
     if cfg.schedule == "layered":

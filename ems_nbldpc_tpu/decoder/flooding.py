@@ -15,8 +15,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.minconv import (fb_checknode_dense, delta_message,
-                           ems_input_truncate, ems_output_saturate)
+from ..ops.minconv import (fb_checknode_dense, fb_checknode_topk,
+                           delta_message, ems_input_truncate,
+                           ems_output_saturate)
 from .graph import DeviceGraph
 
 
@@ -65,7 +66,18 @@ def syndrome_ok(g: DeviceGraph, decide):
     return jnp.all(synd == 0, axis=-1)
 
 
-def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str):
+def use_topk(cn: str, nm: int, q: int, cn_impl: str) -> bool:
+    if cn_impl == "topk":
+        return True
+    if cn_impl == "dense":
+        return False
+    # auto: truncated combine wins when nm is well below q (it is also the
+    # only option that fits HBM for GF(256) at scale)
+    return cn == "ems" and 0 < nm <= q // 2
+
+
+def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str,
+              cn_impl: str = "auto"):
     """Shared CN step: rotate in, dense F/B min-conv, rotate out.
 
     vtoc: [F, E, q] min-normalized variable-to-check messages.
@@ -80,7 +92,10 @@ def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str):
     vr_pad = jnp.concatenate([vr, pad], axis=1)
     vr_rows = _rows_from_edges(g, vr_pad)                    # [F, M, dc, q]
     valid = None if g.regular else jnp.asarray(g.edge_valid_row)[None]
-    mcv_rows = fb_checknode_dense(vr_rows, valid)
+    if use_topk(cn, nm, q, cn_impl):
+        mcv_rows = fb_checknode_topk(vr_rows, nm, valid)
+    else:
+        mcv_rows = fb_checknode_dense(vr_rows, valid)
     mcv_r = _edges_from_rows(g, mcv_rows)
     mcv = _rotate_out(g, mcv_r)
     if cn == "ems" and nm < q:
@@ -98,6 +113,7 @@ def decode_flooding(
     nm: int = 0,
     offset: float = 0.0,
     cn: str = "minsum",      # "minsum" (dense-exact) | "ems" (nm-truncated)
+    cn_impl: str = "auto",   # "dense" | "topk" | "auto"
 ):
     """Returns (decide [F,N] int32, iters [F] int32, converged [F] bool)."""
     f, n, q = intrinsic.shape
@@ -120,7 +136,7 @@ def decode_flooding(
         tot = _vn_totals(g, intrinsic, ctov_pad)
         vtoc = tot[:, g.edge_col] - ctov_pad[:, :e]
         vtoc = vtoc - jnp.min(vtoc, axis=-1, keepdims=True)
-        mcv = checknode(g, vtoc, nm, offset, cn)
+        mcv = checknode(g, vtoc, nm, offset, cn, cn_impl)
         active = ~conv
         ctov_new = jnp.where(
             active[:, None, None],

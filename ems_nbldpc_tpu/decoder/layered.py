@@ -17,9 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.minconv import (fb_checknode_dense, delta_message,
-                           ems_input_truncate, ems_output_saturate)
-from .flooding import syndrome_ok, _vn_totals
+from ..ops.minconv import (fb_checknode_dense, fb_checknode_topk,
+                           delta_message, ems_input_truncate,
+                           ems_output_saturate)
+from .flooding import syndrome_ok, use_topk
 from .graph import DeviceGraph
 
 
@@ -56,6 +57,7 @@ def decode_layered(
     nm: int = 0,
     offset: float = 0.0,
     cn: str = "minsum",
+    cn_impl: str = "auto",
 ):
     """Returns (decide [F,N], iters [F], converged [F]).
 
@@ -70,6 +72,7 @@ def decode_layered(
     e = g.n_edges
     plans = _layer_plan(g)
     truncate = cn == "ems" and nm < q
+    topk_cn = use_topk(cn, nm, q, cn_impl)
 
     # pad APP and CtoV with one dummy column/edge for the scatter targets
     app0 = jnp.pad(intrinsic, ((0, 0), (0, 1), (0, 0)))
@@ -94,7 +97,10 @@ def decode_layered(
             vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
-            mcv_r = fb_checknode_dense(vr)
+            if topk_cn:
+                mcv_r = fb_checknode_topk(vr, nm)
+            else:
+                mcv_r = fb_checknode_dense(vr)
             mcv = jnp.take_along_axis(mcv_r, rot, axis=-1)
             if truncate:
                 mcv = ems_output_saturate(mcv, nm, offset)

@@ -21,11 +21,24 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
+import os
 
 import numpy as np
 
 from ..gf import GF
 from .code import NBCode
+
+CACHE_DIR = os.environ.get(
+    "NBLDPC_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "nbldpc_tpu")
+)
+
+
+def _code_digest(code: NBCode) -> str:
+    h = hashlib.sha256()
+    for a in (code.row_cols, code.row_coefs, np.int64([code.q, code.n])):
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:20]
 
 
 @dataclasses.dataclass
@@ -61,6 +74,21 @@ class Encoder:
     # ---- binary generator for the MXU path ----
     @functools.cached_property
     def bit_generator(self) -> np.ndarray:
+        cache = os.path.join(
+            CACHE_DIR, f"bitgen_{_code_digest(self.code)}.npz"
+        )
+        if os.path.exists(cache):
+            return np.load(cache)["p"]
+        p = self._build_bit_generator()
+        try:
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            np.savez_compressed(cache + ".tmp.npz", p=p)
+            os.replace(cache + ".tmp.npz", cache)
+        except OSError:
+            pass
+        return p
+
+    def _build_bit_generator(self) -> np.ndarray:
         """P: [K*m_bits, M*m_bits] uint8; parity_bits = info_bits @ P mod 2.
 
         Built by packed-bit back-substitution: solve U X = B over GF(2) where
@@ -133,8 +161,29 @@ def gaussian_elimination(code: NBCode) -> Encoder:
     """Column-pivoted GF(q) elimination to upper-triangular form.
 
     Vectorized NumPy equivalent of ``/root/reference/tools.c:151-218``.
-    Raises if H is rank-deficient, like the reference.
+    Raises if H is rank-deficient, like the reference.  Results are cached
+    on disk (sparse triplets) keyed by the code's content digest.
     """
+    cache = os.path.join(CACHE_DIR, f"ge_{_code_digest(code)}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        a = np.zeros((code.m_rows, code.n), dtype=np.int64)
+        a[z["r"], z["c"]] = z["v"]
+        return Encoder(code=code, mat_ut=a, perm=z["perm"])
+    enc = _gaussian_elimination_impl(code)
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        r, c = np.nonzero(enc.mat_ut)
+        np.savez_compressed(
+            cache + ".tmp.npz", r=r, c=c, v=enc.mat_ut[r, c], perm=enc.perm
+        )
+        os.replace(cache + ".tmp.npz", cache)
+    except OSError:
+        pass
+    return enc
+
+
+def _gaussian_elimination_impl(code: NBCode) -> Encoder:
     gf = code.gf
     m, n = code.m_rows, code.n
     a = np.zeros((m, n), dtype=np.int64)

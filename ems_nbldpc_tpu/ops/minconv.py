@@ -84,6 +84,66 @@ def ems_output_saturate(v: jax.Array, nm: int, offset: float) -> jax.Array:
     return jnp.minimum(v, kth + offset)
 
 
+def topk_message(v: jax.Array, nm: int):
+    """Best-nm (ascending values, GF ids) of a dense min-cost message."""
+    negv, gfs = jax.lax.top_k(-v, nm)
+    return -negv, gfs
+
+
+def minconv_topk(a: jax.Array, bv: jax.Array, bg: jax.Array) -> jax.Array:
+    """Truncated tropical XOR-convolution.
+
+    out[..., s] = min_j bv[..., j] + a[..., s ^ bg[..., j]]
+
+    ``a``: dense [..., q]; ``(bv, bg)``: the nm best entries of the other
+    message.  This is the EMS elementary step with the *b* side truncated to
+    nm symbols — the same information the reference's bubble check consumes
+    (``bubble_decoder.c:316-593``) but examining all nm*q candidates instead
+    of a bubble-bounded subset.  Peak memory [..., nm, q] instead of the
+    dense version's [..., q, q].
+    """
+    q = a.shape[-1]
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1)
+    idx = bg[..., :, None] ^ s                      # [..., nm, q]
+    ax = jnp.take_along_axis(a[..., None, :], idx, axis=-1)
+    return jnp.min(bv[..., :, None] + ax, axis=-2)
+
+
+def fb_checknode_topk(
+    vr: jax.Array, nm: int, valid: jax.Array | None = None
+) -> jax.Array:
+    """F/B CN with nm-truncated combine steps (EMS semantics).
+
+    vr: [..., dc, q] rotated inputs (already INF-excluded outside their nm
+    best is NOT required — truncation happens here via top_k).
+    Intermediate accumulations stay dense (a superset of the reference's
+    nm-truncated intermediates); each combine only admits the nm best of the
+    incoming side, exactly the reference's deviation structure.
+    """
+    dc = vr.shape[-2]
+    q = vr.shape[-1]
+    if valid is not None:
+        neutral = delta_message(vr.shape[:-1], q, vr.dtype)
+        vr = jnp.where(valid[..., None], vr, neutral)
+    if dc <= 2:
+        return fb_checknode_dense(vr)
+    bv, bg = topk_message(vr, nm)                   # [..., dc, nm]
+    msgs = [vr[..., i, :] for i in range(dc)]
+    fwd = [msgs[0]]
+    bwd = [msgs[-1]]
+    for i in range(1, dc - 1):
+        fwd.append(minconv_topk(fwd[-1], bv[..., i, :], bg[..., i, :]))
+        j = dc - 1 - i
+        bwd.append(minconv_topk(bwd[-1], bv[..., j, :], bg[..., j, :]))
+    bwd = bwd[::-1]  # bwd[i] = conv of msgs[i+1..dc-1]
+    outs = [bwd[0]]
+    for i in range(1, dc - 1):
+        tv, tg = topk_message(bwd[i], nm)
+        outs.append(minconv_topk(fwd[i - 1], tv, tg))
+    outs.append(fwd[-1])
+    return jnp.stack(outs, axis=-2)
+
+
 def fb_checknode_dense(vr: jax.Array, valid: jax.Array | None = None) -> jax.Array:
     """Forward/backward dense CN over the dc axis.
 

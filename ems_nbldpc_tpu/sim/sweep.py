@@ -1,0 +1,82 @@
+"""Eb/N0 sweeps + result files.
+
+Replaces ``start.sh`` (one forked OS process per SNR point,
+``/root/reference/start.sh:18-22``) with an in-process sweep that reuses one
+compiled batch step across SNR points (sigma is a traced scalar, so changing
+Eb/N0 does not recompile), and replaces the reference's result-file append
+(``NB_LDPC.c:136,568-579``) with both a text file in the same spirit and
+structured JSONL.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Iterable, Optional
+
+from ..decoder.api import DecoderConfig
+from ..models.channels import ChannelSpec
+from ..models.code import NBCode
+from .mc import MonteCarlo, SimConfig, SimResult
+
+
+def run_sweep(
+    code: NBCode,
+    ebn0_grid: Iterable[float],
+    base: SimConfig,
+    out_dir: Optional[str] = None,
+    verbose: bool = True,
+    mesh=None,
+) -> list:
+    """Run the Monte-Carlo chain at each Eb/N0 point; returns SimResults."""
+    results = []
+    mc = None
+    for ebn0 in ebn0_grid:
+        cfg = dataclasses.replace(base, ebn0_db=float(ebn0))
+        if mesh is not None:
+            from ..parallel.mesh import run_sharded
+
+            r = run_sharded(code, cfg, mesh, verbose=verbose)
+        else:
+            if mc is None:
+                mc = MonteCarlo(code, cfg)
+            else:
+                mc.cfg = cfg  # reuse compiled step; sigma is data
+                mc = MonteCarlo(code, cfg, enc=mc.enc)
+            r = mc.run(verbose=verbose)
+        results.append(r)
+        if verbose:
+            lo, hi = r.fer_ci
+            print(
+                f"Eb/N0={ebn0:.2f} dB  FER={r.fer:.3e} [{lo:.2e},{hi:.2e}] "
+                f"({r.frame_errors}/{r.frames})  BER={r.ber:.3e}  "
+                f"avg_it={r.avg_iters:.2f}  {r.frames_per_s:.0f} fr/s"
+            )
+        if out_dir:
+            write_results(out_dir, code, r)
+    return results
+
+
+def result_filename(code: NBCode, cfg: SimConfig) -> str:
+    """Text result file named like the reference's (NB_LDPC.c:129-136)."""
+    d = cfg.decoder
+    return (
+        f"results_N{code.n}_CR{code.rate:0.2f}_GF{code.q}"
+        f"_IT{d.max_iters}_Offset{d.offset:g}_nm{d.nm}_{d.schedule}.txt"
+    )
+
+
+def write_results(out_dir: str, code: NBCode, r: SimResult):
+    os.makedirs(out_dir, exist_ok=True)
+    txt = os.path.join(out_dir, result_filename(code, r.config))
+    stamp = time.strftime("%a %b %d %H:%M:%S %Y")
+    with open(txt, "a") as f:
+        f.write(
+            f" SNR:{r.config.ebn0_db:.2f}: \t FER= {r.frame_errors} / "
+            f"{r.frames} = {r.fer:.6f}  \t BER= {r.bit_errors} / x = \t "
+            f"{r.ber:.6f}  avr_it= \t {r.avg_iters:.2f} \t time: {stamp}\n"
+        )
+    jsonl = os.path.join(out_dir, "results.jsonl")
+    with open(jsonl, "a") as f:
+        f.write(json.dumps(dict(r.to_dict(), time=stamp)) + "\n")
