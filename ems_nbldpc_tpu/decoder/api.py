@@ -24,6 +24,7 @@ class DecoderConfig:
     nm: int = 0                 # 0 -> no truncation (pure min-sum)
     offset: float = 0.3         # saturation offset (reference arg 6)
     cn_impl: str = "auto"       # elementary-step impl: dense | topk | auto
+    loop: str = "device"        # device (while_loop) | host (jit per iter)
     dtype: str = "float32"
 
     def jnp_dtype(self):
@@ -46,5 +47,9 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
     if cfg.schedule == "flooding":
         return decode_flooding(g, intrinsic, **kw)
     if cfg.schedule == "layered":
+        if cfg.loop == "host":
+            from .layered import decode_layered_hostloop
+
+            return decode_layered_hostloop(g, intrinsic, **kw)
         return decode_layered(g, intrinsic, **kw)
     raise ValueError(cfg.schedule)

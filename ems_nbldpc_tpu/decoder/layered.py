@@ -13,6 +13,8 @@ in front.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,4 +135,93 @@ def decode_layered(
 
     state = (jnp.int32(0), app0, ctov0, d0, conv0, jnp.zeros(f, jnp.int32))
     _, _, _, decide, conv, iters = jax.lax.while_loop(cond, body, state)
+    return decide, iters, conv
+
+
+def make_layered_stepper(
+    g: DeviceGraph,
+    nm: int = 0,
+    offset: float = 0.0,
+    cn: str = "minsum",
+    cn_impl: str = "auto",
+):
+    """Host-loop variant for very large codes: one jitted XLA execution per
+    decoding iteration, with buffer donation (no device copies).
+
+    Keeps each device program short (robust against runtime limits on huge
+    [F, E, q] state) and lets the host poll convergence cheaply.  Returns
+    (init_fn, step_fn): ``state = init_fn(intrinsic)``,
+    ``state = step_fn(state)``; state = (app, ctov, decide, conv, iters).
+    """
+    plans = _layer_plan(g)
+    n, q, e = g.code.n, g.q, g.n_edges
+    truncate = cn == "ems" and nm < q
+    topk_cn = use_topk(cn, nm, q, cn_impl)
+
+    def one_iteration(app, ctov, active):
+        for p in plans:
+            edge_ids = jnp.asarray(p["edge_ids"])
+            cols = jnp.asarray(p["cols"])
+            rot = jnp.asarray(p["rot"])[None]
+            inv_rot = jnp.asarray(p["inv_rot"])[None]
+            valid = jnp.asarray(p["valid"])
+            app_rows = app[:, cols]
+            ctov_rows = ctov[:, edge_ids]
+            mvc = app_rows - ctov_rows
+            mvc = mvc - jnp.min(mvc, axis=-1, keepdims=True)
+            mvc_cn = ems_input_truncate(mvc, nm) if truncate else mvc
+            vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
+            neutral = delta_message(vr.shape[:-1], q, vr.dtype)
+            vr = jnp.where(valid[None, ..., None], vr, neutral)
+            if topk_cn:
+                mcv_r = fb_checknode_topk(vr, nm)
+            else:
+                mcv_r = fb_checknode_dense(vr)
+            mcv = jnp.take_along_axis(mcv_r, rot, axis=-1)
+            if truncate:
+                mcv = ems_output_saturate(mcv, nm, offset)
+            mcv = mcv - jnp.min(mcv, axis=-1, keepdims=True)
+            mcv = jnp.where(active[:, None, None, None], mcv, ctov_rows)
+            new_app = jnp.where(
+                active[:, None, None, None], mvc + mcv, app_rows
+            )
+            ctov = ctov.at[:, edge_ids].set(mcv)
+            app = app.at[:, cols].set(new_app)
+        return app, ctov
+
+    @jax.jit
+    def init_fn(intrinsic):
+        f = intrinsic.shape[0]
+        app0 = jnp.pad(intrinsic, ((0, 0), (0, 1), (0, 0)))
+        ctov0 = jnp.zeros((f, e + 1, q), intrinsic.dtype)
+        d0 = jnp.argmin(app0[:, :n], axis=-1).astype(jnp.int32)
+        conv0 = syndrome_ok(g, d0)
+        return app0, ctov0, d0, conv0, jnp.zeros(f, jnp.int32)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state):
+        app, ctov, decide, conv, iters = state
+        active = ~conv
+        app, ctov = one_iteration(app, ctov, active)
+        d_new = jnp.argmin(app[:, :n], axis=-1).astype(jnp.int32)
+        decide = jnp.where(active[:, None], d_new, decide)
+        conv = conv | syndrome_ok(g, decide)
+        iters = iters + active.astype(jnp.int32)
+        return app, ctov, decide, conv, iters
+
+    return init_fn, step_fn
+
+
+def decode_layered_hostloop(g, intrinsic, max_iters, nm=0, offset=0.0,
+                            cn="minsum", cn_impl="auto"):
+    """decode() interface over make_layered_stepper."""
+    import numpy as np
+
+    init_fn, step_fn = make_layered_stepper(g, nm, offset, cn, cn_impl)
+    state = init_fn(intrinsic)
+    for _ in range(max_iters):
+        if bool(np.asarray(state[3].all())):
+            break
+        state = step_fn(state)
+    _, _, decide, conv, iters = state
     return decide, iters, conv
