@@ -25,6 +25,15 @@ class DecoderConfig:
     offset: float = 0.3         # saturation offset (reference arg 6)
     cn_impl: str = "auto"       # elementary-step impl: dense | topk | auto
     loop: str = "device"        # device (while_loop) | host (jit per iter)
+    # syndrome-CN family parameters (cn="syndrome"); mirrors the reference
+    # main's commented setup (NB_LDPC.c:188-200): n_cv=NbOper, trapeze
+    # d1/d2/d3, 1000-config cap, bayes combining, presorting.
+    syn_ncv: int = 45
+    syn_d: tuple = (40, 15, 5)
+    syn_shape: str = "trapeze"
+    syn_max_configs: int = 1000
+    syn_bayes: bool = True
+    syn_presort: bool = True
     dtype: str = "float32"
 
     def jnp_dtype(self):
@@ -44,6 +53,13 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
     intrinsic = intrinsic.astype(cfg.jnp_dtype())
     kw = dict(max_iters=cfg.max_iters, nm=cfg.nm, offset=cfg.offset,
               cn=cfg.cn, cn_impl=cfg.cn_impl)
+    if cfg.cn == "syndrome":
+        kw["syn"] = dict(
+            n_cv=cfg.syn_ncv, d1=cfg.syn_d[0], d2=cfg.syn_d[1],
+            d3=cfg.syn_d[2], shape=cfg.syn_shape,
+            max_configs=cfg.syn_max_configs, use_bayes=cfg.syn_bayes,
+            presort=cfg.syn_presort,
+        )
     if cfg.schedule == "flooding":
         return decode_flooding(g, intrinsic, **kw)
     if cfg.schedule == "layered":

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..ops.minconv import (fb_checknode_dense, fb_checknode_topk,
                            delta_message, ems_input_truncate,
-                           ems_output_saturate)
+                           ems_output_saturate, topk_message)
+from ..ops.syndrome_cn import syndrome_checknode
 from .graph import DeviceGraph
 
 
@@ -77,7 +78,7 @@ def use_topk(cn: str, nm: int, q: int, cn_impl: str) -> bool:
 
 
 def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str,
-              cn_impl: str = "auto"):
+              cn_impl: str = "auto", syn: dict | None = None):
     """Shared CN step: rotate in, dense F/B min-conv, rotate out.
 
     vtoc: [F, E, q] min-normalized variable-to-check messages.
@@ -92,7 +93,13 @@ def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str,
     vr_pad = jnp.concatenate([vr, pad], axis=1)
     vr_rows = _rows_from_edges(g, vr_pad)                    # [F, M, dc, q]
     valid = None if g.regular else jnp.asarray(g.edge_valid_row)[None]
-    if use_topk(cn, nm, q, cn_impl):
+    if cn == "syndrome":
+        nm_eff = nm if nm > 0 else min(q, 32)
+        vals, gfs = topk_message(vr_rows, nm_eff)
+        mcv_rows = syndrome_checknode(
+            vals, gfs, q, offset=offset, **(syn or {})
+        )
+    elif use_topk(cn, nm, q, cn_impl):
         mcv_rows = fb_checknode_topk(vr_rows, nm, valid)
     else:
         mcv_rows = fb_checknode_dense(vr_rows, valid)
@@ -112,8 +119,9 @@ def decode_flooding(
     max_iters: int,
     nm: int = 0,
     offset: float = 0.0,
-    cn: str = "minsum",      # "minsum" (dense-exact) | "ems" (nm-truncated)
+    cn: str = "minsum",      # minsum (dense-exact) | ems (truncated) | syndrome
     cn_impl: str = "auto",   # "dense" | "topk" | "auto"
+    syn: dict | None = None,
 ):
     """Returns (decide [F,N] int32, iters [F] int32, converged [F] bool)."""
     f, n, q = intrinsic.shape
@@ -136,7 +144,7 @@ def decode_flooding(
         tot = _vn_totals(g, intrinsic, ctov_pad)
         vtoc = tot[:, g.edge_col] - ctov_pad[:, :e]
         vtoc = vtoc - jnp.min(vtoc, axis=-1, keepdims=True)
-        mcv = checknode(g, vtoc, nm, offset, cn, cn_impl)
+        mcv = checknode(g, vtoc, nm, offset, cn, cn_impl, syn)
         active = ~conv
         ctov_new = jnp.where(
             active[:, None, None],

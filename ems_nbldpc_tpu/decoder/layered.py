@@ -21,7 +21,8 @@ import numpy as np
 
 from ..ops.minconv import (fb_checknode_dense, fb_checknode_topk,
                            delta_message, ems_input_truncate,
-                           ems_output_saturate)
+                           ems_output_saturate, topk_message)
+from ..ops.syndrome_cn import syndrome_checknode
 from .flooding import syndrome_ok, use_topk
 from .graph import DeviceGraph
 
@@ -60,6 +61,7 @@ def decode_layered(
     offset: float = 0.0,
     cn: str = "minsum",
     cn_impl: str = "auto",
+    syn: dict | None = None,
 ):
     """Returns (decide [F,N], iters [F], converged [F]).
 
@@ -99,7 +101,13 @@ def decode_layered(
             vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
-            if topk_cn:
+            if cn == "syndrome":
+                nm_eff = nm if nm > 0 else min(q, 32)
+                tvals, tgfs = topk_message(vr, nm_eff)
+                mcv_r = syndrome_checknode(
+                    tvals, tgfs, q, offset=offset, **(syn or {})
+                )
+            elif topk_cn:
                 mcv_r = fb_checknode_topk(vr, nm)
             else:
                 mcv_r = fb_checknode_dense(vr)
@@ -144,6 +152,7 @@ def make_layered_stepper(
     offset: float = 0.0,
     cn: str = "minsum",
     cn_impl: str = "auto",
+    syn: dict | None = None,
 ):
     """Host-loop variant for very large codes: one jitted XLA execution per
     decoding iteration, with buffer donation (no device copies).
@@ -173,7 +182,13 @@ def make_layered_stepper(
             vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
-            if topk_cn:
+            if cn == "syndrome":
+                nm_eff = nm if nm > 0 else min(q, 32)
+                tvals, tgfs = topk_message(vr, nm_eff)
+                mcv_r = syndrome_checknode(
+                    tvals, tgfs, q, offset=offset, **(syn or {})
+                )
+            elif topk_cn:
                 mcv_r = fb_checknode_topk(vr, nm)
             else:
                 mcv_r = fb_checknode_dense(vr)
@@ -213,11 +228,11 @@ def make_layered_stepper(
 
 
 def decode_layered_hostloop(g, intrinsic, max_iters, nm=0, offset=0.0,
-                            cn="minsum", cn_impl="auto"):
+                            cn="minsum", cn_impl="auto", syn=None):
     """decode() interface over make_layered_stepper."""
     import numpy as np
 
-    init_fn, step_fn = make_layered_stepper(g, nm, offset, cn, cn_impl)
+    init_fn, step_fn = make_layered_stepper(g, nm, offset, cn, cn_impl, syn)
     state = init_fn(intrinsic)
     for _ in range(max_iters):
         if bool(np.asarray(state[3].all())):

@@ -1,0 +1,222 @@
+"""Syndrome-based EMS check node ("high speed, low latency NB-LDPC check
+node processing" family).
+
+TPU re-design of the reference's syndrome-CN architecture
+(``/root/reference/syndrome_decoder.c:26-284`` and its config-table
+machinery at ``:1512-2371``; compiled-in but unreachable from the shipped
+binary — SURVEY.md §2.1/Appendix B, so parity here is behavioral/FER, not
+bit-exact).
+
+Architecture, batched over [frames, rows]:
+
+1. Inputs are nm-truncated sorted messages (vals ascending, GF ids in the
+   rotated domain).
+2. Optional *presorting*: edges reordered by their 2nd-best LLR (then the
+   first ``border`` edges re-sorted by 3rd-best), so the trapeze-shaped
+   deviation budget concentrates on the least reliable edges
+   (``presorting_mvc`` :289-496).
+3. A static host-built **config table** [C, dc] enumerates deviation
+   patterns (entry k = use the k-th best value of that edge; 0 = best).
+   Shapes: full product, trapeze (sum-bounded), 2-deviation
+   (``gen_config_table/2/3`` :1588-1822), cost-sorted and truncated
+   (``sort_config_table`` :2285-2371, main's d1=40,d2=15,d3=5 & 1000-config
+   cap, NB_LDPC.c:191-200).
+4. Each config's syndrome: LLR = sum of chosen values, GF = XOR of chosen
+   ids (``:63-77``).
+5. Per edge: *decorrelation* — keep configs with deviation 0 on that edge,
+   XOR out the edge's own best id (``:92-108``); bucket-min into a dense
+   [q] output with optional **bayes** duplicate combining (``bayes``
+   :2142-2211: min shrunk by a |diff|-dependent factor approximating the
+   box-plus correction); saturate beyond the (n_cv+3t)-th best config LLR
+   (``:195-209``).
+
+Everything is static-shape: the config table is a trace-time constant, the
+bucket-min is a one-hot masked min over [*, C, q] — no sorting on device.
+"""
+from __future__ import annotations
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .minconv import INF
+
+
+# ---------------- host-side config tables ----------------
+
+def gen_config_full(dc: int, d1: int, d2: int, d3: int) -> np.ndarray:
+    """Full-product deviation patterns (gen_config_table :1588-1648)."""
+    rows = [np.zeros(dc, np.int32)]
+    for i in range(dc):
+        for k in range(1, d1 + 1):
+            r = np.zeros(dc, np.int32); r[i] = k; rows.append(r)
+    for i, j in itertools.combinations(range(dc), 2):
+        for a in range(1, d2 + 1):
+            for b in range(1, d2 + 1):
+                r = np.zeros(dc, np.int32); r[i] = a; r[j] = b; rows.append(r)
+    for i, j, k in itertools.combinations(range(dc), 3):
+        for a in range(1, d3 + 1):
+            for b in range(1, d3 + 1):
+                for c in range(1, d3 + 1):
+                    r = np.zeros(dc, np.int32)
+                    r[i], r[j], r[k] = a, b, c
+                    rows.append(r)
+    return np.stack(rows)
+
+
+def gen_config_trapeze(dc: int, d1: int, d2: int, d3: int,
+                       d4: int = 2) -> np.ndarray:
+    """Trapeze-shaped patterns: deviation sums bounded (gen_config_table2
+    :1661-1767): pairs with k+l < d2+2? — the reference bounds the 0-based
+    loop indices (k+l < d2 over indices-from-0), i.e. sum of (dev-1) < d2."""
+    rows = [np.zeros(dc, np.int32)]
+    for i in range(dc):
+        for k in range(1, d1 + 1):
+            r = np.zeros(dc, np.int32); r[i] = k; rows.append(r)
+    for i, j in itertools.combinations(range(dc), 2):
+        for a in range(d2):
+            for b in range(d2):
+                if a + b < d2:
+                    r = np.zeros(dc, np.int32)
+                    r[i], r[j] = a + 1, b + 1
+                    rows.append(r)
+    for i, j, k in itertools.combinations(range(dc), 3):
+        for a in range(d3):
+            for b in range(d3):
+                for c in range(d3):
+                    if a + b + c < d3:
+                        r = np.zeros(dc, np.int32)
+                        r[i], r[j], r[k] = a + 1, b + 1, c + 1
+                        rows.append(r)
+    if dc >= 4 and d4 > 0:
+        for o, i, j, k in itertools.combinations(range(dc), 4):
+            for a in range(d4):
+                for b in range(d4):
+                    for c in range(d4):
+                        for p in range(d4):
+                            if a + b + c < d4:
+                                r = np.zeros(dc, np.int32)
+                                r[i], r[j], r[k], r[o] = (
+                                    a + 1, b + 1, c + 1, p + 1)
+                                rows.append(r)
+    return np.stack(rows)
+
+
+def gen_config_2dev(dc: int, d1: int) -> np.ndarray:
+    """Single-deviation-only table (gen_config_table3 :1784-1822)."""
+    rows = [np.zeros(dc, np.int32)]
+    for i in range(dc):
+        for k in range(1, d1 + 1):
+            r = np.zeros(dc, np.int32); r[i] = k; rows.append(r)
+    return np.stack(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def build_config_table(dc: int, d1: int = 40, d2: int = 15, d3: int = 5,
+                       shape: str = "trapeze",
+                       max_configs: int = 1000) -> np.ndarray:
+    """Reference main's recipe (NB_LDPC.c:191-200): trapeze table,
+    cost-sorted, capped. Cost sort: by (deviation count, index sum)."""
+    if shape == "full":
+        t = gen_config_full(dc, d1, d2, d3)
+    elif shape == "trapeze":
+        t = gen_config_trapeze(dc, d1, d2, d3)
+    elif shape == "2dev":
+        t = gen_config_2dev(dc, d1)
+    else:
+        raise ValueError(shape)
+    ndev = (t > 0).sum(axis=1)
+    cost = t.sum(axis=1)
+    order = np.lexsort((cost, ndev))
+    t = t[order]
+    if max_configs and t.shape[0] > max_configs:
+        t = t[:max_configs]
+    return np.ascontiguousarray(t)
+
+
+# ---------------- device-side CN ----------------
+
+def bayes_combine(m1, m2):
+    """bayes() (:2142-2211): min of the two duplicate-GF config LLRs,
+    shrunk by a factor depending on their difference (approximates the
+    -ln tanh box-plus correction)."""
+    dif = m2 - m1
+    factor = jnp.select(
+        [dif < 0.1, dif < 0.2, dif < 1.0, dif < 2.0],
+        [0.5, 0.75, 0.825, 0.9375],
+        1.0,
+    )
+    return jnp.where(jnp.isfinite(m2) & (m2 < INF / 2), m1 * factor, m1)
+
+
+def presort_order(vals):
+    """[..., dc, nm] -> [..., dc] edge order: ascending 2nd-best LLR, then
+    the first `border`=4 re-sorted by 3rd-best (presorting_mvc)."""
+    order1 = jnp.argsort(vals[..., 1], axis=-1)
+    dc = vals.shape[-2]
+    border = min(4, dc)
+    v2 = jnp.take_along_axis(vals[..., 2], order1, axis=-1)
+    head = order1[..., :border]
+    sub = jnp.argsort(v2[..., :border], axis=-1)
+    head2 = jnp.take_along_axis(head, sub, axis=-1)
+    return jnp.concatenate([head2, order1[..., border:]], axis=-1)
+
+
+def syndrome_checknode(
+    vals, gfs, q: int, n_cv: int = 45, offset: float = 0.3,
+    d1: int = 40, d2: int = 15, d3: int = 5, shape: str = "trapeze",
+    max_configs: int = 1000, use_bayes: bool = True, presort: bool = True,
+):
+    """vals: [..., dc, nm] ascending; gfs: [..., dc, nm] rotated GF ids.
+
+    Returns dense [..., dc, q] CtoV messages in the rotated domain.
+    """
+    dc = vals.shape[-2]
+    nm = vals.shape[-1]
+    cfg = build_config_table(dc, min(d1, nm - 1), min(d2, nm - 1),
+                             min(d3, nm - 1), shape, max_configs)
+    cfg_j = jnp.asarray(cfg)                         # [C, dc]
+    c = cfg.shape[0]
+
+    if presort:
+        order = presort_order(vals)                  # [..., dc]
+        inv = jnp.argsort(order, axis=-1)
+        vals = jnp.take_along_axis(vals, order[..., None], axis=-2)
+        gfs = jnp.take_along_axis(gfs, order[..., None], axis=-2)
+
+    # config syndromes (LLR sum + GF xor) — static gathers per edge slot
+    llr_c = 0.0
+    gf_c = jnp.zeros(vals.shape[:-2] + (c,), jnp.int32)
+    for j in range(dc):
+        idx = cfg_j[:, j]                            # [C]
+        llr_c = llr_c + vals[..., j, idx]
+        gf_c = gf_c ^ gfs[..., j, idx]
+
+    iota_q = jnp.arange(q, dtype=jnp.int32)
+    outs = []
+    for t in range(dc):
+        mask = cfg[:, t] == 0                        # static [C]
+        gf_ext = gf_c ^ gfs[..., t, 0:1]             # [..., C]
+        llr_m = jnp.where(jnp.asarray(mask), llr_c, INF)
+        # saturation threshold: k-th best decorrelated config LLR
+        k = int(min(n_cv - 1 + 3 * t, mask.sum() - 1))
+        sat = -jax.lax.top_k(-llr_m, k + 1)[0][..., -1:]
+        # one-hot bucket min (+ optional second-min for bayes)
+        onehot = gf_ext[..., :, None] == iota_q      # [..., C, q]
+        contrib = jnp.where(onehot, llr_m[..., :, None], INF)
+        m1 = jnp.min(contrib, axis=-2)               # [..., q]
+        if use_bayes:
+            c2 = jnp.where(contrib <= m1[..., None, :], INF, contrib)
+            m2 = jnp.min(c2, axis=-2)
+            out = bayes_combine(m1, m2)
+        else:
+            out = m1
+        out = jnp.where(out > sat, sat + offset, out)
+        outs.append(out)
+    mcv = jnp.stack(outs, axis=-2)                   # [..., dc, q]
+    if presort:
+        mcv = jnp.take_along_axis(mcv, inv[..., None], axis=-2)
+    return mcv

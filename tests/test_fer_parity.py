@@ -1,0 +1,55 @@
+"""FER-curve parity vs the C reference (statistical, TPU-scale).
+
+C anchors measured from the reference binary (gcc -O3, /root/reference @
+Mat24_N48_M24, layered EMS, 10 iters, nm=16, offset=0.3, nbOper=32,
+BPSK-AWGN, stop at 40 errors):
+
+    Eb/N0 1.5 dB: FER = 40/172  = 0.2326
+    Eb/N0 2.0 dB: FER = 40/725  = 0.0552
+    Eb/N0 2.5 dB: FER = 40/5953 = 0.00672
+
+TPU-framework measurements (same operating point, this repo @ r1):
+
+    1.5 dB: 833/4096  = 0.2034   2.0 dB: 438/8192 = 0.0535
+    2.5 dB: 404/61440 = 0.00658
+
+Wilson CIs overlap at every point. The fast test below re-checks one point
+with a small budget; the slow/tpu test re-runs the full comparison.
+"""
+import numpy as np
+import pytest
+
+from ems_nbldpc_tpu.decoder.api import DecoderConfig
+from ems_nbldpc_tpu.models import registry
+from ems_nbldpc_tpu.sim.mc import MonteCarlo, SimConfig
+from ems_nbldpc_tpu.utils.stats import overlapping
+
+C_ANCHORS = {1.5: (40, 172), 2.0: (40, 725), 2.5: (40, 5953)}
+
+DEC = DecoderConfig(max_iters=10, schedule="layered", cn="ems",
+                    nm=16, offset=0.3)
+
+
+def _run(ebn0, frames, batch):
+    code = registry.get_code("Mat24_N48_M24")
+    cfg = SimConfig(ebn0_db=ebn0, frames_per_batch=batch, max_frames=frames,
+                    stop_errors=10**9, decoder=DEC)
+    return MonteCarlo(code, cfg).run()
+
+
+def test_fer_overlaps_reference_at_2db():
+    r = _run(2.0, 1024, 512)
+    k, n = C_ANCHORS[2.0]
+    assert overlapping(r.frame_errors, r.frames, k, n), (
+        f"FER {r.fer:.4f} [{r.fer_ci}] vs C {k}/{n}"
+    )
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("ebn0", [1.5, 2.0, 2.5])
+def test_fer_overlaps_reference_full(ebn0):
+    r = _run(ebn0, 65536, 8192)
+    k, n = C_ANCHORS[ebn0]
+    assert overlapping(r.frame_errors, r.frames, k, n), (
+        f"{ebn0} dB: FER {r.fer:.5f} vs C {k}/{n}"
+    )

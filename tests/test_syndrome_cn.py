@@ -1,0 +1,90 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ems_nbldpc_tpu.decoder.api import DecoderConfig, decode
+from ems_nbldpc_tpu.models import registry
+from ems_nbldpc_tpu.ops.minconv import topk_message
+from ems_nbldpc_tpu.ops.syndrome_cn import (
+    bayes_combine,
+    build_config_table,
+    gen_config_full,
+    gen_config_trapeze,
+    presort_order,
+    syndrome_checknode,
+)
+
+
+def test_config_table_sizes():
+    # full-product size formula (compute_config_table_size :1523-1540):
+    # 1 + dc*d1 + C(dc,2)*d2^2 + C(dc,3)*d3^3
+    t = gen_config_full(4, 5, 3, 2)
+    assert t.shape[0] == 1 + 4 * 5 + 6 * 9 + 4 * 8
+    # trapeze is smaller than full for same budgets
+    tz = gen_config_trapeze(4, 5, 3, 2, d4=0)
+    assert tz.shape[0] < t.shape[0]
+    # zero config first after cost sort; cap respected
+    b = build_config_table(4, 10, 4, 2, max_configs=50)
+    assert b.shape == (50, 4)
+    assert (b[0] == 0).all()
+    # sorted by deviation count
+    ndev = (b > 0).sum(1)
+    assert (np.diff(ndev) >= 0).all()
+
+
+def test_bayes_combine_factors():
+    m1 = jnp.asarray([1.0, 1.0, 1.0, 1.0, 1.0])
+    m2 = jnp.asarray([1.05, 1.15, 1.5, 2.5, 50.0])
+    out = np.asarray(bayes_combine(m1, m2))
+    np.testing.assert_allclose(out, [0.5, 0.75, 0.825, 0.9375, 1.0])
+
+
+def test_presort_order():
+    vals = jnp.asarray(
+        np.array([[[0, 5.0, 9], [0, 1.0, 2], [0, 3.0, 1], [0, 2.0, 7],
+                   [0, 4.0, 3]]], dtype=np.float32)
+    )
+    order = np.asarray(presort_order(vals))[0]
+    # primary sort by vals[:,1]: 1.0,2.0,3.0,4.0,5.0 -> edges 1,3,2,4,0
+    # then first 4 resorted by vals[:,2]: edge2(1),edge1(2),edge4(3),edge3(7)
+    assert list(order) == [2, 1, 4, 3, 0]
+
+
+def test_syndrome_cn_zero_deviation_dominates():
+    """With one overwhelmingly likely symbol per edge, the output for each
+    edge must put its minimum at the XOR of the other edges' best ids."""
+    rng = np.random.default_rng(0)
+    q, dc, nm = 16, 4, 8
+    best = np.array([3, 5, 9, 14])
+    dense = np.full((1, 1, dc, q), 20.0, np.float32)
+    dense[0, 0, np.arange(dc), best] = 0.0
+    dense += rng.random(dense.shape).astype(np.float32) * 0.1
+    vals, gfs = topk_message(jnp.asarray(dense), nm)
+    out = np.asarray(syndrome_checknode(vals, gfs, q, n_cv=16, offset=0.3,
+                                        d1=4, d2=2, d3=1))
+    for t in range(dc):
+        expect = 0
+        for j in range(dc):
+            if j != t:
+                expect ^= best[j]
+        assert out[0, 0, t].argmin() == expect
+
+
+@pytest.mark.parametrize("presort", [False, True])
+def test_syndrome_decoder_corrects(presort):
+    code = registry.get_code("Mat24_N48_M24")
+    rng = np.random.default_rng(1)
+    intr = np.full((4, code.n, 64), 25.0, np.float32)
+    cw = np.zeros((4, code.n), dtype=np.int64)
+    intr[..., 0] = 0.0
+    # flip a symbol per frame with mild confusion
+    for f in range(4):
+        pos = rng.integers(0, code.n)
+        intr[f, pos, 0] = 2.0
+        intr[f, pos, 7] = 0.0
+    cfg = DecoderConfig(max_iters=8, schedule="layered", cn="syndrome",
+                        nm=12, syn_ncv=24, syn_d=(11, 5, 2),
+                        syn_presort=presort)
+    d, it, conv = decode(code, jnp.asarray(intr), cfg)
+    assert np.asarray(conv).all()
+    assert np.array_equal(np.asarray(d), cw)
