@@ -19,6 +19,7 @@ from ..ops.minconv import (fb_checknode_dense, fb_checknode_topk,
                            delta_message, ems_input_truncate,
                            ems_output_saturate, topk_message)
 from ..ops.syndrome_cn import syndrome_checknode
+from ..ops.fht import fb_checknode_spa
 from .graph import DeviceGraph
 
 
@@ -93,7 +94,9 @@ def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str,
     vr_pad = jnp.concatenate([vr, pad], axis=1)
     vr_rows = _rows_from_edges(g, vr_pad)                    # [F, M, dc, q]
     valid = None if g.regular else jnp.asarray(g.edge_valid_row)[None]
-    if cn == "syndrome":
+    if cn == "spa":
+        mcv_rows = fb_checknode_spa(vr_rows, valid)
+    elif cn == "syndrome":
         nm_eff = nm if nm > 0 else min(q, 32)
         vals, gfs = topk_message(vr_rows, nm_eff)
         mcv_rows = syndrome_checknode(

@@ -23,6 +23,7 @@ from ..ops.minconv import (fb_checknode_dense, fb_checknode_topk,
                            delta_message, ems_input_truncate,
                            ems_output_saturate, topk_message)
 from ..ops.syndrome_cn import syndrome_checknode
+from ..ops.fht import fb_checknode_spa
 from .flooding import syndrome_ok, use_topk
 from .graph import DeviceGraph
 
@@ -101,7 +102,9 @@ def decode_layered(
             vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
-            if cn == "syndrome":
+            if cn == "spa":
+                mcv_r = fb_checknode_spa(vr)
+            elif cn == "syndrome":
                 nm_eff = nm if nm > 0 else min(q, 32)
                 tvals, tgfs = topk_message(vr, nm_eff)
                 mcv_r = syndrome_checknode(
@@ -182,7 +185,9 @@ def make_layered_stepper(
             vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
-            if cn == "syndrome":
+            if cn == "spa":
+                mcv_r = fb_checknode_spa(vr)
+            elif cn == "syndrome":
                 nm_eff = nm if nm > 0 else min(q, 32)
                 tvals, tgfs = topk_message(vr, nm_eff)
                 mcv_r = syndrome_checknode(

@@ -1,0 +1,90 @@
+"""Sum-product (belief propagation) check node via fast Hadamard transform.
+
+Not in the C reference (which is min-sum/EMS only) — a TPU-native bonus
+decoder: over GF(2^m), the check-node convolution over the XOR group
+diagonalizes under the Walsh-Hadamard transform, so the exact sum-product
+CN is
+
+    out_i  =  IWHT( prod_{j != i} WHT(P_j) ) / q
+
+with the partial products computed by a forward/backward sweep (no unstable
+division).  The WHT of a length-q vector is one q x q +-1 matrix multiply —
+pure MXU work, in contrast to the gather-heavy min-sum path.  FER of SPA
+upper-bounds every EMS variant, so this is both the quality ceiling and the
+throughput showcase.
+
+Interface matches the other CN backends: min-cost messages in, min-cost
+messages out (costs are true negative log-likelihoods for the AWGN
+channels, so P = exp(-cost) is the exact likelihood up to normalization).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .minconv import delta_message
+
+_LOG_EPS = 60.0  # cost clamp: exp(-60) ~ 1e-26 keeps WHT well-conditioned
+
+
+@functools.lru_cache(maxsize=None)
+def hadamard(q: int) -> np.ndarray:
+    """[q, q] Walsh-Hadamard matrix H[u, v] = (-1)^popcount(u & v)."""
+    u = np.arange(q)
+    pc = np.vectorize(lambda x: bin(x).count("1"))(u[:, None] & u[None, :])
+    return np.where(pc % 2 == 0, 1.0, -1.0).astype(np.float32)
+
+
+def costs_to_probs(cost: jax.Array) -> jax.Array:
+    """Min-cost messages -> normalized probabilities."""
+    c = cost - jnp.min(cost, axis=-1, keepdims=True)
+    p = jnp.exp(-jnp.minimum(c, _LOG_EPS))
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def probs_to_costs(p: jax.Array) -> jax.Array:
+    p = jnp.maximum(p, jnp.float32(np.exp(-_LOG_EPS)))
+    c = -jnp.log(p)
+    return c - jnp.min(c, axis=-1, keepdims=True)
+
+
+def fb_checknode_spa(vr_cost: jax.Array,
+                     valid: jax.Array | None = None) -> jax.Array:
+    """Exact SPA CN over the XOR group.
+
+    vr_cost: [..., dc, q] rotated min-cost messages.
+    Returns [..., dc, q] extrinsic min-cost messages.
+    """
+    q = vr_cost.shape[-1]
+    dc = vr_cost.shape[-2]
+    if valid is not None:
+        neutral = delta_message(vr_cost.shape[:-1], q, vr_cost.dtype)
+        vr_cost = jnp.where(valid[..., None], vr_cost, neutral)
+    h = jnp.asarray(hadamard(q))
+    p = costs_to_probs(vr_cost)
+    w = jnp.einsum("...v,uv->...u", p, h,
+                   preferred_element_type=jnp.float32)   # [..., dc, q]
+    if dc == 1:
+        out_w = jnp.ones_like(w)
+    elif dc == 2:
+        out_w = w[..., ::-1, :]
+    else:
+        fwd = [w[..., 0, :]]
+        bwd = [w[..., dc - 1, :]]
+        for i in range(1, dc - 1):
+            fwd.append(fwd[-1] * w[..., i, :])
+            bwd.append(bwd[-1] * w[..., dc - 1 - i, :])
+        bwd = bwd[::-1]
+        outs = [bwd[0]]
+        for i in range(1, dc - 1):
+            outs.append(fwd[i - 1] * bwd[i])
+        outs.append(fwd[-1])
+        out_w = jnp.stack(outs, axis=-2)
+    out_p = jnp.einsum("...u,uv->...v", out_w, h,
+                       preferred_element_type=jnp.float32) / q
+    # numerical floor: tiny negatives from cancellation clamp to ~0
+    out_p = jnp.maximum(out_p, 1e-30)
+    return probs_to_costs(out_p)
