@@ -25,6 +25,7 @@ class DecoderConfig:
     offset: float = 0.3         # saturation offset (reference arg 6)
     cn_impl: str = "auto"       # elementary-step impl: dense | topk | auto
     loop: str = "device"        # device (while_loop) | host (jit per iter)
+    storage: str = "dense"      # dense | compressed (nm-truncated CtoV)
     # syndrome-CN family parameters (cn="syndrome"); mirrors the reference
     # main's commented setup (NB_LDPC.c:188-200): n_cv=NbOper, trapeze
     # d1/d2/d3, 1000-config cap, bayes combining, presorting.
@@ -63,6 +64,13 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
     if cfg.schedule == "flooding":
         return decode_flooding(g, intrinsic, **kw)
     if cfg.schedule == "layered":
+        if cfg.storage == "compressed":
+            from .layered import decode_layered_compressed
+
+            return decode_layered_compressed(
+                g, intrinsic, cfg.max_iters, nm=cfg.nm, offset=cfg.offset,
+                dtype=cfg.jnp_dtype(),
+            )
         if cfg.loop == "host":
             from .layered import decode_layered_hostloop
 

@@ -40,15 +40,13 @@ def _edges_from_rows(g: DeviceGraph, x_rows):
 
 
 def _rotate_in(g: DeviceGraph, vtoc):
-    """msg over c -> msg over u = h*c: out[u] = in[h^-1 u]."""
-    idx = jnp.asarray(g.inv_rot, jnp.int32)[None]
-    return jnp.take_along_axis(vtoc, idx, axis=-1)
+    """msg over c -> msg over u = h*c (coefficient-grouped static perms)."""
+    return g.rotplan.apply(vtoc, "in")
 
 
 def _rotate_out(g: DeviceGraph, mcv_r):
-    """msg over u -> msg over c: out[c] = in[h*c]."""
-    idx = jnp.asarray(g.rot, jnp.int32)[None]
-    return jnp.take_along_axis(mcv_r, idx, axis=-1)
+    """msg over u -> msg over c (coefficient-grouped static perms)."""
+    return g.rotplan.apply(mcv_r, "out")
 
 
 def syndrome_ok(g: DeviceGraph, decide):
@@ -58,8 +56,7 @@ def syndrome_ok(g: DeviceGraph, decide):
     row (GF add = XOR in poly rep).  TPU-native ``Syndrom`` (tools.c:284-299).
     """
     sym = decide[:, g.edge_col]                              # [F, E]
-    rot = jnp.asarray(g.rot, jnp.int32)
-    u = jnp.take_along_axis(rot[None], sym[..., None], axis=-1)[..., 0]
+    u = g.rotplan.apply_indices(sym[..., None], "in")[..., 0]
     u_pad = jnp.pad(u, ((0, 0), (0, 1)))                     # pad edge -> 0
     u_rows = u_pad[:, g.row_edges]                           # [F, M, dc]
     synd = u_rows[..., 0]

@@ -14,6 +14,93 @@ import numpy as np
 from ..models.code import NBCode
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class RotationPlan:
+    """Coefficient-grouped static lane permutations for GF rotations.
+
+    A per-edge rotation by coefficient h is a lane permutation; applying a
+    *different* permutation per row is a per-row gather (slow on TPU), but
+    codes use only a handful of distinct coefficients, so: sort positions
+    by coefficient (a batch-axis gather — cheap), apply one *shared* static
+    permutation per group (compiles to plain data movement), and un-sort.
+    """
+
+    sort_idx: np.ndarray     # [P] positions ordered by coefficient
+    unsort_idx: np.ndarray   # [P] inverse
+    bounds: tuple            # group (start, end) pairs
+    perm_in: tuple           # per group: [q] perm for c-domain -> u-domain
+    perm_out: tuple          # per group: [q] perm for u-domain -> c-domain
+
+    @staticmethod
+    def build(coefs: np.ndarray, gf) -> "RotationPlan":
+        coefs = np.asarray(coefs).reshape(-1)
+        order = np.argsort(coefs, kind="stable")
+        inv_order = np.argsort(order)
+        sorted_c = coefs[order]
+        bounds, pin, pout = [], [], []
+        start = 0
+        ident = np.arange(gf.q)
+        while start < len(sorted_c):
+            h = sorted_c[start]
+            end = start + int(np.searchsorted(sorted_c[start:], h, "right"))
+            if h == 0:  # padding positions: identity
+                pin.append(ident)
+                pout.append(ident)
+            else:
+                # vr[u] = v[h^-1 u]  -> perm_in[u] = h^-1 * u
+                pin.append(gf.mul_table[int(gf.inv(h))])
+                # mcv[c] = mcv_r[h c] -> perm_out[c] = h * c
+                pout.append(gf.mul_table[int(h)])
+            bounds.append((start, end))
+            start = end
+        return RotationPlan(
+            sort_idx=order.astype(np.int32),
+            unsort_idx=inv_order.astype(np.int32),
+            bounds=tuple(bounds),
+            perm_in=tuple(p.astype(np.int32) for p in pin),
+            perm_out=tuple(p.astype(np.int32) for p in pout),
+        )
+
+    def apply(self, x, direction: str):
+        """x: [F, P, q] -> rotated [F, P, q]. direction: 'in' | 'out'."""
+        import os
+
+        import jax.numpy as jnp
+
+        if os.environ.get("NBLDPC_ROT", "grouped") == "gather":
+            perms = self.perm_in if direction == "in" else self.perm_out
+            full = np.zeros((len(self.sort_idx), len(perms[0])), np.int32)
+            for i, (s, e) in enumerate(self.bounds):
+                full[self.sort_idx[s:e]] = perms[i]
+            return jnp.take_along_axis(
+                x, jnp.asarray(full)[None], axis=-1
+            )
+        perms = self.perm_in if direction == "in" else self.perm_out
+        xs = x[:, self.sort_idx]
+        parts = [
+            xs[:, s:e][:, :, perms[i]]
+            for i, (s, e) in enumerate(self.bounds)
+        ]
+        xs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        return xs[:, self.unsort_idx]
+
+    def apply_indices(self, idx, direction: str):
+        """Rotate small GF *index* tensors: idx [F, P, nm] ints -> h*idx
+        ('in') or h^-1*idx ('out') — used to rotate top-k symbol lists
+        without touching dense messages.  Note: index rotation 'in' maps
+        c -> u = h*c, which is perm_out's table; kept explicit here."""
+        import jax.numpy as jnp
+
+        perms = self.perm_out if direction == "in" else self.perm_in
+        xs = idx[:, self.sort_idx]
+        parts = [
+            jnp.asarray(perms[i])[xs[:, s:e]]
+            for i, (s, e) in enumerate(self.bounds)
+        ]
+        xs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        return xs[:, self.unsort_idx]
+
+
 @dataclasses.dataclass(frozen=True)
 class DeviceGraph:
     """Static index arrays (NumPy; passed into jit as constants)."""
@@ -52,6 +139,10 @@ class DeviceGraph:
             inv_rot=code.inv_rot_perm,
             layers=code.layers,
         )
+
+    @functools.cached_property
+    def rotplan(self) -> "RotationPlan":
+        return RotationPlan.build(self.code.edge_coef, self.code.gf)
 
     @property
     def q(self) -> int:

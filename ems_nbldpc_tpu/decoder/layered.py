@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.minconv import (fb_checknode_dense, fb_checknode_topk,
+from ..ops.minconv import (INF, fb_checknode_dense, fb_checknode_topk,
                            delta_message, ems_input_truncate,
-                           ems_output_saturate, topk_message)
+                           ems_output_saturate, scatter_topk_dense,
+                           topk_message)
 from ..ops.syndrome_cn import syndrome_checknode
 from ..ops.fht import fb_checknode_spa
 from .flooding import syndrome_ok, use_topk
@@ -29,8 +30,9 @@ from .graph import DeviceGraph
 
 
 def _layer_plan(g: DeviceGraph):
-    """Pad layers to uniform arrays of row ids (pad row id = M -> dummy)."""
-    m = g.code.m_rows
+    """Per-layer index arrays + coefficient-grouped rotation plan."""
+    from .graph import RotationPlan
+
     e = g.n_edges
     n = g.code.n
     dc = g.code.dc_max
@@ -40,15 +42,16 @@ def _layer_plan(g: DeviceGraph):
         edge_ids = np.concatenate([g.row_edges, np.full((1, dc), e)], axis=0)[rows]
         cols = np.concatenate([g.code.row_cols, np.full((1, dc), n)], axis=0)[rows]
         valid = edge_ids < e
-        rot = np.concatenate([g.rot, np.zeros((1, g.q), np.int32)], axis=0)[edge_ids]
-        inv_rot = np.concatenate([g.inv_rot, np.zeros((1, g.q), np.int32)], axis=0)[edge_ids]
+        coefs = np.concatenate(
+            [g.code.row_coefs, np.zeros((1, dc), np.int64)], axis=0
+        )[rows]
         plans.append(
             dict(
                 edge_ids=edge_ids.astype(np.int32),
                 cols=cols.astype(np.int32),
                 valid=valid,
-                rot=rot.astype(np.int32),
-                inv_rot=inv_rot.astype(np.int32),
+                rotplan=RotationPlan.build(coefs, g.code.gf),
+                shape=(len(rows), dc),
             )
         )
     return plans
@@ -87,8 +90,8 @@ def decode_layered(
         for p in plans:
             edge_ids = jnp.asarray(p["edge_ids"])        # [G, dc]
             cols = jnp.asarray(p["cols"])
-            rot = jnp.asarray(p["rot"])[None]            # [1, G, dc, q]
-            inv_rot = jnp.asarray(p["inv_rot"])[None]
+            rotplan = p["rotplan"]
+            gdim, dcdim = p["shape"]
             valid = jnp.asarray(p["valid"])
 
             app_rows = app[:, cols]                      # [F, G, dc, q]
@@ -99,7 +102,10 @@ def decode_layered(
                 mvc_cn = ems_input_truncate(mvc, nm)
             else:
                 mvc_cn = mvc
-            vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
+            f_dim = mvc_cn.shape[0]
+            vr = rotplan.apply(
+                mvc_cn.reshape(f_dim, gdim * dcdim, -1), "in"
+            ).reshape(mvc_cn.shape)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
             if cn == "spa":
@@ -114,7 +120,9 @@ def decode_layered(
                 mcv_r = fb_checknode_topk(vr, nm)
             else:
                 mcv_r = fb_checknode_dense(vr)
-            mcv = jnp.take_along_axis(mcv_r, rot, axis=-1)
+            mcv = rotplan.apply(
+                mcv_r.reshape(f_dim, gdim * dcdim, -1), "out"
+            ).reshape(mcv_r.shape)
             if truncate:
                 mcv = ems_output_saturate(mcv, nm, offset)
             mcv = mcv - jnp.min(mcv, axis=-1, keepdims=True)
@@ -174,15 +182,18 @@ def make_layered_stepper(
         for p in plans:
             edge_ids = jnp.asarray(p["edge_ids"])
             cols = jnp.asarray(p["cols"])
-            rot = jnp.asarray(p["rot"])[None]
-            inv_rot = jnp.asarray(p["inv_rot"])[None]
+            rotplan = p["rotplan"]
+            gdim, dcdim = p["shape"]
             valid = jnp.asarray(p["valid"])
             app_rows = app[:, cols]
             ctov_rows = ctov[:, edge_ids]
             mvc = app_rows - ctov_rows
             mvc = mvc - jnp.min(mvc, axis=-1, keepdims=True)
             mvc_cn = ems_input_truncate(mvc, nm) if truncate else mvc
-            vr = jnp.take_along_axis(mvc_cn, inv_rot, axis=-1)
+            f_dim = mvc_cn.shape[0]
+            vr = rotplan.apply(
+                mvc_cn.reshape(f_dim, gdim * dcdim, -1), "in"
+            ).reshape(mvc_cn.shape)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
             if cn == "spa":
@@ -197,7 +208,9 @@ def make_layered_stepper(
                 mcv_r = fb_checknode_topk(vr, nm)
             else:
                 mcv_r = fb_checknode_dense(vr)
-            mcv = jnp.take_along_axis(mcv_r, rot, axis=-1)
+            mcv = rotplan.apply(
+                mcv_r.reshape(f_dim, gdim * dcdim, -1), "out"
+            ).reshape(mcv_r.shape)
             if truncate:
                 mcv = ems_output_saturate(mcv, nm, offset)
             mcv = mcv - jnp.min(mcv, axis=-1, keepdims=True)
@@ -245,3 +258,117 @@ def decode_layered_hostloop(g, intrinsic, max_iters, nm=0, offset=0.0,
         state = step_fn(state)
     _, _, decide, conv, iters = state
     return decide, iters, conv
+
+
+def make_layered_compressed_stepper(
+    g: DeviceGraph, nm: int, offset: float = 0.3,
+    dtype=jnp.bfloat16,
+):
+    """Layered EMS with nm-compressed CtoV storage (big-code path).
+
+    For DVB-T2-scale GF(256) codes the dense CtoV FIFO is the memory/HBM
+    bottleneck (SURVEY.md §7.3 hard part 3).  After EMS output saturation a
+    CN message has at most nm distinct sub-saturation values, so the
+    truncated form (vals [E, nm], gfs [E, nm] int8, sat [E]) is a *lossless*
+    re-encoding — exactly the reference's own CtoV content
+    (nm sorted entries + saturated fill, bubble_decoder.c:262-278) — at
+    ~(3*nm)/(4*q) of the dense bytes.
+
+    State: (app [F,N+1,q], cv_v [F,E+1,nm], cv_g [F,E+1,nm] int8,
+    cv_sat [F,E+1], decide, conv, iters).
+    """
+    from functools import partial as _partial
+
+    plans = _layer_plan(g)
+    n, q, e = g.code.n, g.q, g.n_edges
+    assert 0 < nm < q
+
+    def expand(cv_v, cv_g, cv_sat):
+        dense = scatter_topk_dense(
+            cv_v, cv_g.astype(jnp.int32), q, fill=INF
+        )
+        return jnp.minimum(dense, cv_sat[..., None]).astype(cv_v.dtype)
+
+    def one_iteration(app, cv_v, cv_g, cv_sat, active):
+        for p in plans:
+            edge_ids = jnp.asarray(p["edge_ids"])
+            cols = jnp.asarray(p["cols"])
+            rotplan = p["rotplan"]
+            gdim, dcdim = p["shape"]
+            valid = jnp.asarray(p["valid"])
+
+            app_rows = app[:, cols]                      # [F, G, dc, q]
+            ctov_rows = expand(
+                cv_v[:, edge_ids], cv_g[:, edge_ids], cv_sat[:, edge_ids]
+            )
+            mvc = app_rows - ctov_rows
+            mvc = mvc - jnp.min(mvc, axis=-1, keepdims=True)
+            mvc_cn = ems_input_truncate(mvc, nm)
+            f_dim = mvc_cn.shape[0]
+            vr = rotplan.apply(
+                mvc_cn.reshape(f_dim, gdim * dcdim, -1), "in"
+            ).reshape(mvc_cn.shape)
+            neutral = delta_message(vr.shape[:-1], q, vr.dtype)
+            vr = jnp.where(valid[None, ..., None], vr, neutral)
+            mcv_r = fb_checknode_topk(vr, nm)
+            mcv = rotplan.apply(
+                mcv_r.reshape(f_dim, gdim * dcdim, -1), "out"
+            ).reshape(mcv_r.shape)
+            # compress: nm best + saturation (lossless for EMS outputs)
+            bv, bg = topk_message(mcv, nm)
+            bv = bv - bv[..., 0:1]                       # normalize min=0
+            sat = bv[..., -1] + offset
+            dense = jnp.minimum(
+                scatter_topk_dense(bv, bg, q, fill=INF), sat[..., None]
+            ).astype(app.dtype)
+            keep = ~active[:, None, None]
+            bv = jnp.where(keep[..., None], cv_v[:, edge_ids], bv)
+            bg = jnp.where(keep[..., None], cv_g[:, edge_ids],
+                           bg.astype(cv_g.dtype))
+            sat = jnp.where(keep, cv_sat[:, edge_ids], sat)
+            new_app = jnp.where(keep[..., None], app_rows, mvc + dense)
+            cv_v = cv_v.at[:, edge_ids].set(bv.astype(cv_v.dtype))
+            cv_g = cv_g.at[:, edge_ids].set(bg.astype(cv_g.dtype))
+            cv_sat = cv_sat.at[:, edge_ids].set(sat.astype(cv_sat.dtype))
+            app = app.at[:, cols].set(new_app)
+        return app, cv_v, cv_g, cv_sat
+
+    @jax.jit
+    def init_fn(intrinsic):
+        f = intrinsic.shape[0]
+        app0 = jnp.pad(intrinsic.astype(dtype), ((0, 0), (0, 1), (0, 0)))
+        cv_v = jnp.zeros((f, e + 1, nm), dtype)
+        cv_g = (
+            jnp.zeros((f, e + 1, nm), jnp.uint8)
+            + jnp.arange(nm, dtype=jnp.uint8)[None, None]
+        )
+        cv_sat = jnp.zeros((f, e + 1), dtype)
+        d0 = jnp.argmin(app0[:, :n], axis=-1).astype(jnp.int32)
+        conv0 = syndrome_ok(g, d0)
+        return app0, cv_v, cv_g, cv_sat, d0, conv0, jnp.zeros(f, jnp.int32)
+
+    @_partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state):
+        app, cv_v, cv_g, cv_sat, decide, conv, iters = state
+        active = ~conv
+        app, cv_v, cv_g, cv_sat = one_iteration(
+            app, cv_v, cv_g, cv_sat, active
+        )
+        d_new = jnp.argmin(app[:, :n], axis=-1).astype(jnp.int32)
+        decide = jnp.where(active[:, None], d_new, decide)
+        conv = conv | syndrome_ok(g, decide)
+        iters = iters + active.astype(jnp.int32)
+        return app, cv_v, cv_g, cv_sat, decide, conv, iters
+
+    return init_fn, step_fn
+
+
+def decode_layered_compressed(g, intrinsic, max_iters, nm, offset=0.3,
+                              dtype=jnp.bfloat16, **_):
+    init_fn, step_fn = make_layered_compressed_stepper(g, nm, offset, dtype)
+    state = init_fn(intrinsic)
+    for _ in range(max_iters):
+        if bool(np.asarray(state[5].all())):
+            break
+        state = step_fn(state)
+    return state[4], state[6], state[5]

@@ -167,10 +167,15 @@ class MonteCarlo:
     """Host-side accumulation loop with early stopping."""
 
     def __init__(self, code: NBCode, cfg: SimConfig,
-                 enc: Optional[Encoder] = None, jit: bool = True):
+                 enc: Optional[Encoder] = None, jit: Optional[bool] = None):
         self.code = code
         self.cfg = cfg
         step, self.enc = make_batch_step(code, cfg, enc)
+        if jit is None:
+            # host-loop / compressed decoders run python control flow per
+            # iteration and cannot live inside a jitted batch step
+            jit = not (cfg.decoder.loop == "host"
+                       or cfg.decoder.storage == "compressed")
         self.step = jax.jit(step) if jit else step
 
     def run(self, verbose: bool = False) -> SimResult:
