@@ -36,6 +36,10 @@ class SimConfig:
     decoder: DecoderConfig = DecoderConfig()
     encode: str = "device"         # "device" (bit-matmul) | "zero" (all-zero
     #                                codeword; valid for symmetric channels)
+    fake_bch_t: int = 0            # count a frame as erroneous only if it has
+    #                                more than this many bit errors (the v2
+    #                                program's "fake BCH" outer-code rule,
+    #                                EMS_..._v2.c:2256-2291 with t=12)
 
 
 @dataclasses.dataclass
@@ -150,7 +154,7 @@ def make_batch_step(code: NBCode, cfg: SimConfig,
         # the first K codeword symbols' binary images
         diff = decide[:, :k] ^ cw[:, :k]
         bit_err = _popcount(diff).sum(axis=1)
-        frame_err = (bit_err > 0)
+        frame_err = (bit_err > cfg.fake_bch_t)
         undetected = frame_err & conv
         return jnp.array([
             f,

@@ -1,0 +1,34 @@
+import numpy as np
+
+from ems_nbldpc_tpu.decoder.api import DecoderConfig
+from ems_nbldpc_tpu.models import registry
+from ems_nbldpc_tpu.sim.mc import SimConfig
+from ems_nbldpc_tpu.sim.snapshots import run_snapshots
+
+
+def test_ber_snapshots_monotone():
+    code = registry.get_code("Mat24_N48_M24")
+    cfg = SimConfig(
+        ebn0_db=2.0, frames_per_batch=256, encode="zero",
+        decoder=DecoderConfig(max_iters=30, schedule="layered", cn="ems",
+                              nm=16, offset=0.3),
+    )
+    r = run_snapshots(code, cfg, budgets=(2, 5, 10, 20))
+    assert r.frames == 256
+    fers = [r.fer(b) for b in (2, 5, 10, 20)]
+    # more iterations can only help (monotone within MC noise)
+    assert fers[0] >= fers[-1]
+    assert all(0 <= f <= 1 for f in fers)
+
+
+def test_fake_bch_rule():
+    code = registry.get_code("Mat24_N48_M24")
+    base = dict(ebn0_db=1.5, frames_per_batch=256, encode="zero")
+    dec = DecoderConfig(max_iters=6, schedule="layered", cn="ems", nm=16,
+                        offset=0.3)
+    r0 = run_snapshots(code, SimConfig(**base, decoder=dec), budgets=(6,))
+    r12 = run_snapshots(
+        code, SimConfig(**base, fake_bch_t=12, decoder=dec), budgets=(6,)
+    )
+    # the fake-BCH filter can only reduce counted frame errors
+    assert r12.frame_errors[6] <= r0.frame_errors[6]
