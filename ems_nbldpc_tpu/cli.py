@@ -51,7 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offset", type=float, default=0.3)
     p.add_argument("--schedule", default="layered",
                    choices=["layered", "flooding"])
-    p.add_argument("--cn", default="ems", choices=["ems", "minsum"])
+    p.add_argument("--cn", default="ems",
+                   choices=["ems", "minsum", "spa", "syndrome"])
     p.add_argument("--batch", type=int, default=2048, help="frames/batch")
     p.add_argument("--max-frames", type=int, default=10_000_000)
     p.add_argument("--stop-errors", type=int, default=40,
@@ -64,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotated", action="store_true")
     p.add_argument("--erasure", type=float, default=0.0)
     p.add_argument("--encode", default="device", choices=["device", "zero"])
+    p.add_argument("--storage", default="dense",
+                   choices=["dense", "compressed"])
+    p.add_argument("--loop", default="device",
+                   choices=["device", "host"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--devices", type=int, default=0,
                    help="shard frames over this many devices (0 = single)")
@@ -111,7 +118,8 @@ def main(argv=None) -> int:
         stop_errors=args.stop_errors, seed=args.seed, channel=spec,
         decoder=DecoderConfig(
             max_iters=args.iters, schedule=args.schedule, cn=args.cn,
-            nm=args.nm, offset=args.offset,
+            nm=args.nm, offset=args.offset, storage=args.storage,
+            loop=args.loop, dtype=args.dtype,
         ),
         encode=args.encode,
     )

@@ -67,7 +67,13 @@ class RotationPlan:
 
         import jax.numpy as jnp
 
-        if os.environ.get("NBLDPC_ROT", "grouped") == "gather":
+        # auto policy: grouped static perms win when there are few
+        # coefficient groups; with many groups the slice/concat overhead
+        # exceeds a single per-position gather (measured end-to-end).
+        mode = os.environ.get("NBLDPC_ROT", "auto")
+        if mode == "auto":
+            mode = "grouped" if len(self.bounds) <= 24 else "gather"
+        if mode == "gather":
             perms = self.perm_in if direction == "in" else self.perm_out
             full = np.zeros((len(self.sort_idx), len(perms[0])), np.int32)
             for i, (s, e) in enumerate(self.bounds):
