@@ -81,7 +81,57 @@ def elementary_bubble(v1, g1, v2, g2, nm: int, nb_oper: int,
     return out_v, out_g
 
 
-def check_pass_ems(vals, gfs, coefs, gf_mul, gf_div, nm, nb_oper, offset, q):
+def elementary_lbubble(v1, g1, v2, g2, nm: int, nb_oper: int):
+    """The v2 standalone decoder's 4-candidate "L-bubble" operator
+    (EMS_HS_L-BubbleCheck_UBS_decoder_v2.c:1547-1701), min-convention.
+
+    Seeds: column-0 rows 0..2 plus (row 2, col 1); bubbles 0,1 move down
+    column 0; bubbles 2,3 move right along their rows (the "2 rows + 2
+    columns" L shape, v2:10-12,1611-1680).
+    """
+    n1, n2 = len(v1), len(v2)
+    out_v = np.full(nm, BIG)
+    out_g = np.full(nm, -1, dtype=np.int64)
+    seen = set()
+
+    def cand(i, j):
+        if i >= n1 or j >= n2 or g1[i] < 0 or g2[j] < 0:
+            return BIG
+        return v1[i] + v2[j]
+
+    # [value, i, j, moves_down]
+    bubbles = [
+        [cand(0, 0), 0, 0, True],
+        [cand(1, 0), 1, 0, True],
+        [cand(2, 0), 2, 0, False],
+        [cand(2, 1), 2, 1, False],
+    ]
+    s = 0
+    for _ in range(nb_oper):
+        pos = min(range(4), key=lambda t: bubbles[t][0])
+        val, i, j, down = bubbles[pos]
+        if i >= n1 or j >= n2 or g1[i] < 0 or g2[j] < 0:
+            break
+        gf = int(g1[i]) ^ int(g2[j])
+        if gf not in seen:
+            out_v[s] = val
+            out_g[s] = gf
+            seen.add(gf)
+            s += 1
+        if s == nm:
+            break
+        if i >= nm - 1 or j >= nm - 1:
+            break
+        if down:
+            i += 1
+        else:
+            j += 1
+        bubbles[pos] = [cand(i, j), i, j, down]
+    return out_v, out_g
+
+
+def check_pass_ems(vals, gfs, coefs, gf_mul, gf_div, nm, nb_oper, offset, q,
+                   bubble="8"):
     """F/B bubble-check CN for one row (bubble_decoder.c:72-305).
 
     vals/gfs: [dc][nm] sorted truncated VtoC messages (poly rep).
@@ -89,6 +139,7 @@ def check_pass_ems(vals, gfs, coefs, gf_mul, gf_div, nm, nb_oper, offset, q):
     Returns dense [dc, q] CtoV messages (offset-saturated expansion).
     """
     dc = len(coefs)
+    elem = elementary_bubble if bubble == "8" else elementary_lbubble
     # rotate in: gf -> h * gf
     rgfs = [gf_mul[coefs[t]][gfs[t]] for t in range(dc)]
     fwd_v = [None] * dc
@@ -98,11 +149,11 @@ def check_pass_ems(vals, gfs, coefs, gf_mul, gf_div, nm, nb_oper, offset, q):
     fwd_v[0], fwd_g[0] = vals[0], rgfs[0]
     bwd_v[dc - 1], bwd_g[dc - 1] = vals[dc - 1], rgfs[dc - 1]
     for t in range(1, dc - 1):
-        fwd_v[t], fwd_g[t] = elementary_bubble(
+        fwd_v[t], fwd_g[t] = elem(
             fwd_v[t - 1], fwd_g[t - 1], vals[t], rgfs[t], nm, nb_oper
         )
         u = dc - 1 - t
-        bwd_v[u], bwd_g[u] = elementary_bubble(
+        bwd_v[u], bwd_g[u] = elem(
             bwd_v[u + 1], bwd_g[u + 1], vals[u], rgfs[u], nm, nb_oper
         )
     out = np.zeros((dc, q))
@@ -112,7 +163,7 @@ def check_pass_ems(vals, gfs, coefs, gf_mul, gf_div, nm, nb_oper, offset, q):
         elif t == dc - 1:
             ov, og = fwd_v[dc - 2], fwd_g[dc - 2]
         else:
-            ov, og = elementary_bubble(
+            ov, og = elem(
                 fwd_v[t - 1], fwd_g[t - 1], bwd_v[t + 1], bwd_g[t + 1],
                 nm, nb_oper
             )
@@ -131,7 +182,7 @@ def check_pass_ems(vals, gfs, coefs, gf_mul, gf_div, nm, nb_oper, offset, q):
 
 def decode_layered_golden(
     code: NBCode, intrinsic: np.ndarray, max_iters: int, nm: int,
-    offset: float, nb_oper: int,
+    offset: float, nb_oper: int, bubble: str = "8",
 ):
     """One-frame layered EMS decode. intrinsic: [N, q] min-cost dense.
 
@@ -166,7 +217,8 @@ def decode_layered_golden(
                 vals.append(v)
                 gfs.append(s)
             mcv = check_pass_ems(
-                vals, gfs, coefs, mul, _div_table(gf), nm, nb_oper, offset, q
+                vals, gfs, coefs, mul, _div_table(gf), nm, nb_oper, offset,
+                q, bubble=bubble,
             )
             for t in range(d):
                 mvc = app[cols[t]] - ctov[edges[t]]

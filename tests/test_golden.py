@@ -98,3 +98,31 @@ def test_golden_fer_statistically_matches_jax():
     # ~0.05 FER at 2 dB -> a handful of errors; decoders should be within
     # a few frames of each other on identical noise
     assert abs(gerr - jerr) <= max(4, int(0.5 * max(gerr, jerr)))
+
+
+def test_lbubble_decodes_and_finds_best_candidate():
+    from ems_nbldpc_tpu.golden import elementary_lbubble
+
+    v1 = np.array([0.0, 1.0, 2.0, 3.0])
+    g1 = np.array([0, 1, 2, 3])
+    v2 = np.array([0.0, 0.5, 1.5, 2.5])
+    g2 = np.array([0, 4, 5, 6])
+    ov, og = elementary_lbubble(v1, g1, v2, g2, nm=4, nb_oper=16)
+    assert og[0] == 0 and ov[0] == 0.0          # (0,0) seed always first
+    filled = og >= 0
+    assert np.all(np.diff(ov[filled]) >= 0)
+
+    # full decode with the L-bubble CN corrects a single error
+    code = registry.get_code("Mat24_N48_M24")
+    enc = gaussian_elimination(code)
+    info = np.random.default_rng(0).integers(0, 64, size=(1, code.k))
+    cw = enc.encode_np(info)[0]
+    intr = np.full((code.n, 64), 30.0)
+    intr[np.arange(code.n), cw] = 0.0
+    intr[5] = 30.0
+    intr[5, cw[5] ^ 7] = 0.0
+    intr[5, cw[5]] = 1.0
+    decide, _, conv = decode_layered_golden(
+        code, intr, max_iters=10, nm=16, offset=0.3, nb_oper=32, bubble="L"
+    )
+    assert conv and np.array_equal(decide, cw)
