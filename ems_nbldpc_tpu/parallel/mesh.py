@@ -30,6 +30,43 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("frames",))
 
 
+def make_mesh_2d(hosts: int, chips_per_host: int, devices=None) -> Mesh:
+    """(hosts, chips) mesh for multi-host slices.
+
+    Frames shard over both axes; laying hosts on the outer axis keeps the
+    per-host psum partial reductions on ICI, with only the final
+    host-count-sized reduction crossing DCN (the all-reduce XLA emits for a
+    2-D psum is hierarchical on TPU meshes).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: hosts * chips_per_host]).reshape(
+        hosts, chips_per_host
+    )
+    return Mesh(devices, axis_names=("dcn", "ici"))
+
+
+def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
+    """Counters psum-reduced hierarchically over ('dcn', 'ici')."""
+    step, enc = make_batch_step(code, cfg)
+
+    def device_step(key):
+        h = jax.lax.axis_index("dcn")
+        c = jax.lax.axis_index("ici")
+        idx = h * jax.lax.axis_size("ici") + c
+        counters, _ = step(jax.random.fold_in(key, idx))
+        counters = jax.lax.psum(counters, axis_name="ici")
+        return jax.lax.psum(counters, axis_name="dcn")
+
+    fn = jax.shard_map(
+        device_step, mesh=mesh, in_specs=P(), out_specs=P(),
+        check_vma=False,
+    )
+    jitted = jax.jit(fn)
+    jitted.encoder = enc
+    return jitted
+
+
 def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
     """Build a jitted step: key -> global counters [5] (psum-reduced).
 

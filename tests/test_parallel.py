@@ -37,3 +37,18 @@ def test_sharded_fer_statistically_matches_single_device():
     # both around the true FER (~0.2 at 1.5 dB); loose binomial agreement
     assert abs(r1.fer - r8.fer) < 0.15
     assert r1.frames == r8.frames == 256
+
+
+def test_2d_mesh_hierarchical_reduction():
+    from ems_nbldpc_tpu.parallel.mesh import make_mesh_2d, sharded_batch_step_2d
+
+    code = registry.get_code("Mat24_N48_M24")
+    cfg = SimConfig(
+        ebn0_db=2.0, frames_per_batch=16,
+        decoder=DecoderConfig(max_iters=4, schedule="flooding", cn="minsum"),
+    )
+    mesh = make_mesh_2d(2, 4)   # 2 "hosts" x 4 "chips" on the virtual mesh
+    step = sharded_batch_step_2d(code, cfg, mesh)
+    counters = np.asarray(step(jax.random.PRNGKey(0)))
+    assert counters[0] == 16 * 8
+    assert counters[4] > 0      # iteration counts accumulated
