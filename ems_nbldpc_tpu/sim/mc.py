@@ -102,18 +102,11 @@ def _popcount(x):
     return c
 
 
-def make_batch_step(code: NBCode, cfg: SimConfig,
-                    enc: Optional[Encoder] = None):
-    """Build the jittable per-batch simulation step: key -> counters.
-
-    Returns (step_fn, encoder). Counters: [frames, frame_errors, bit_errors,
-    undetected, iter_sum] as int32 vector.
-    """
-    g = DeviceGraph.from_code(code)
-    q, n, k, logq = code.q, code.n, code.k, code.logq
+def make_codeword_fn(code: NBCode, cfg: SimConfig,
+                     enc: Optional[Encoder] = None):
+    """Returns (make_codeword(kinfo) -> [F, N] symbols, encoder)."""
     f = cfg.frames_per_batch
-    rate = code.rate
-
+    n, k, logq = code.n, code.k, code.logq
     if cfg.encode == "device":
         if enc is None:
             enc = gaussian_elimination(code)
@@ -144,6 +137,21 @@ def make_batch_step(code: NBCode, cfg: SimConfig,
             return jnp.zeros((f, n), jnp.int32)
     else:
         raise ValueError(cfg.encode)
+    return make_codeword, enc
+
+
+def make_batch_step(code: NBCode, cfg: SimConfig,
+                    enc: Optional[Encoder] = None):
+    """Build the jittable per-batch simulation step: key -> counters.
+
+    Returns (step_fn, encoder). Counters: [frames, frame_errors, bit_errors,
+    undetected, iter_sum] as int32 vector.
+    """
+    g = DeviceGraph.from_code(code)
+    q, n, k, logq = code.q, code.n, code.k, code.logq
+    f = cfg.frames_per_batch
+    rate = code.rate
+    make_codeword, enc = make_codeword_fn(code, cfg, enc)
 
     def step(key):
         kinfo, kchan = jax.random.split(key)

@@ -32,3 +32,21 @@ def test_fake_bch_rule():
     )
     # the fake-BCH filter can only reduce counted frame errors
     assert r12.frame_errors[6] <= r0.frame_errors[6]
+
+
+def test_twophase_matches_singlephase_fer():
+    from ems_nbldpc_tpu.sim.twophase import run_twophase
+    from ems_nbldpc_tpu.sim.mc import MonteCarlo
+
+    code = registry.get_code("Mat24_N48_M24")
+    cfg = SimConfig(
+        ebn0_db=2.0, frames_per_batch=256, max_frames=256, stop_errors=10**9,
+        decoder=DecoderConfig(max_iters=10, schedule="layered", cn="ems",
+                              nm=16, offset=0.3),
+    )
+    r1 = MonteCarlo(code, cfg).run()
+    r2 = run_twophase(code, cfg, phase_a_iters=2)
+    # same RNG stream -> identical channel -> FER must match exactly
+    # (phase B restarts from scratch with the full budget)
+    assert r1.frame_errors == r2.frame_errors
+    assert r1.frames == r2.frames
