@@ -38,7 +38,7 @@ def main():
 
     matrix = "KN/N576_K480_GF64.txt"
     ebn0 = 3.5
-    frames_per_batch = 8192
+    frames_per_batch = 4096
 
     code = registry.get_code(matrix)
     cfg = SimConfig(
@@ -53,7 +53,7 @@ def main():
     mc = MonteCarlo(code, cfg)
     mc.run()  # warmup + compile
     t0 = time.perf_counter()
-    batches = 4
+    batches = 3
     total = 0
     fer_stats = np.zeros(2)
     for _ in range(batches):

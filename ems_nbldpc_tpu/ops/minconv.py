@@ -29,13 +29,18 @@ import numpy as np
 
 INF = 1e9
 
-# elementary-combine implementation: "shuffle" (xor block swaps) or
-# "gather" (take_along_axis). End-to-end A/B measured per device class.
-MINCONV_IMPL = os.environ.get("NBLDPC_MINCONV", "gather")
+# elementary-combine implementation: "shuffle" (xor block swaps),
+# "gather" (take_along_axis), or "auto" (gather for small q where XLA
+# fuses it well; shuffle for q>=128 where per-element minor-dim gathers
+# collapse -- measured 15x+ slower on v5e-class devices).
+MINCONV_IMPL = os.environ.get("NBLDPC_MINCONV", "auto")
 
 
 def _mc(a, bv, bg):
-    if MINCONV_IMPL == "shuffle":
+    impl = MINCONV_IMPL
+    if impl == "auto":
+        impl = "shuffle" if a.shape[-1] >= 128 else "gather"
+    if impl == "shuffle":
         return minconv_topk_shuffle(a, bv, bg)
     return minconv_topk(a, bv, bg)  # "unreachable" cost; reference uses 1e5 (bubble_decoder.c:107)
 
