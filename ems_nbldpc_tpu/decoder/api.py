@@ -35,6 +35,7 @@ class DecoderConfig:
     syn_max_configs: int = 1000
     syn_bayes: bool = True
     syn_presort: bool = True
+    syn_sat: str = "kth"        # "kth" (syndrome_ems) | "median" (_median)
     dtype: str = "float32"
 
     def jnp_dtype(self):
@@ -59,7 +60,7 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
             n_cv=cfg.syn_ncv, d1=cfg.syn_d[0], d2=cfg.syn_d[1],
             d3=cfg.syn_d[2], shape=cfg.syn_shape,
             max_configs=cfg.syn_max_configs, use_bayes=cfg.syn_bayes,
-            presort=cfg.syn_presort,
+            presort=cfg.syn_presort, sat_rule=cfg.syn_sat,
         )
     if cfg.schedule == "flooding":
         return decode_flooding(g, intrinsic, **kw)

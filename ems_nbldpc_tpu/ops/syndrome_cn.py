@@ -169,6 +169,7 @@ def syndrome_checknode(
     vals, gfs, q: int, n_cv: int = 45, offset: float = 0.3,
     d1: int = 40, d2: int = 15, d3: int = 5, shape: str = "trapeze",
     max_configs: int = 1000, use_bayes: bool = True, presort: bool = True,
+    sat_rule: str = "kth",
 ):
     """vals: [..., dc, nm] ascending; gfs: [..., dc, nm] rotated GF ids.
 
@@ -202,7 +203,12 @@ def syndrome_checknode(
         gf_ext = gf_c ^ gfs[..., t, 0:1]             # [..., C]
         llr_m = jnp.where(jnp.asarray(mask), llr_c, INF)
         # saturation threshold: k-th best decorrelated config LLR
-        k = int(min(n_cv - 1 + 3 * t, mask.sum() - 1))
+        # (syndrome_ems :195-209) or the median of the decorrelated set
+        # (syndrome_ems_median :506-649, via the median_median helpers)
+        if sat_rule == "median":
+            k = int(mask.sum()) // 2
+        else:
+            k = int(min(n_cv - 1 + 3 * t, mask.sum() - 1))
         sat = -jax.lax.top_k(-llr_m, k + 1)[0][..., -1:]
         # one-hot bucket min (+ optional second-min for bayes)
         onehot = gf_ext[..., :, None] == iota_q      # [..., C, q]

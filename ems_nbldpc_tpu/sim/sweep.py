@@ -21,6 +21,26 @@ from ..models.code import NBCode
 from .mc import MonteCarlo, SimConfig, SimResult
 
 
+def completed_points(out_dir: str, code: NBCode, cfg: SimConfig) -> set:
+    """Eb/N0 points already recorded in results.jsonl for this config
+    (checkpoint/resume for interrupted sweeps)."""
+    path = os.path.join(out_dir or "", "results.jsonl")
+    done = set()
+    if not out_dir or not os.path.exists(path):
+        return done
+    d = cfg.decoder
+    for line in open(path):
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if (r.get("code") == code.name and r.get("nm") == d.nm
+                and r.get("schedule") == d.schedule and r.get("cn") == d.cn
+                and r.get("max_iters") == d.max_iters):
+            done.add(round(float(r["ebn0_db"]), 6))
+    return done
+
+
 def run_sweep(
     code: NBCode,
     ebn0_grid: Iterable[float],
@@ -28,11 +48,17 @@ def run_sweep(
     out_dir: Optional[str] = None,
     verbose: bool = True,
     mesh=None,
+    resume: bool = False,
 ) -> list:
     """Run the Monte-Carlo chain at each Eb/N0 point; returns SimResults."""
     results = []
     mc = None
+    done = completed_points(out_dir, code, base) if resume else set()
     for ebn0 in ebn0_grid:
+        if round(float(ebn0), 6) in done:
+            if verbose:
+                print(f"Eb/N0={ebn0:.2f} dB already recorded; skipping")
+            continue
         cfg = dataclasses.replace(base, ebn0_db=float(ebn0))
         if mesh is not None:
             from ..parallel.mesh import run_sharded
