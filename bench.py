@@ -17,7 +17,7 @@ import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "benchmarks", "last_bench.json")
-TIMEOUT_S = 1500
+TIMEOUT_S = 1200
 
 
 class BenchTimeout(Exception):

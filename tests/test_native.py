@@ -58,3 +58,27 @@ def test_native_throughput_smoke():
     )
     assert conv.mean() > 0.95
     assert (d == 0).all(axis=1).mean() > 0.9
+
+
+@pytest.mark.slow
+def test_native_fer_curve_matches_jax():
+    """Native C++ bubble-check EMS vs the JAX dense-superset EMS on many
+    noisy frames: FER CIs must overlap (both ~C-reference behavior)."""
+    from ems_nbldpc_tpu.decoder.api import DecoderConfig, decode
+    from ems_nbldpc_tpu.utils.stats import overlapping
+
+    code = registry.get_code("Mat24_N48_M24")
+    frames = 3000
+    sigma = sigma_for(ChannelSpec(), 2.0, code.rate)
+    cw = jnp.zeros((frames, code.n), jnp.int32)
+    intr, _ = bpsk_awgn(jax.random.PRNGKey(11), cw, 64, sigma)
+    intr_np = np.asarray(intr, np.float64)
+    nd, _, _ = native.decode_batch(
+        code, intr_np, max_iters=10, nm=16, offset=0.3, nb_oper=32
+    )
+    nerr = int((nd != 0).any(axis=1).sum())
+    cfg = DecoderConfig(max_iters=10, schedule="layered", cn="ems",
+                        nm=16, offset=0.3)
+    jd, _, _ = decode(code, intr, cfg)
+    jerr = int((np.asarray(jd) != 0).any(axis=1).sum())
+    assert overlapping(nerr, frames, jerr, frames), (nerr, jerr)
