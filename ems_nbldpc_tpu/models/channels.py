@@ -46,11 +46,17 @@ class ChannelSpec:
     erasure_prob: float = 0.0      # component erasures (channel.c:592-594)
 
 
-def sigma_for(spec: ChannelSpec, ebn0_db: float, rate: float) -> float:
-    snr_lin = 10.0 ** (ebn0_db / 10.0)
+def sigma_for(spec: ChannelSpec, ebn0_db, rate: float):
+    """Noise sigma; works on python floats and traced arrays alike."""
+    import jax.numpy as _jnp
+
+    xp = _jnp if hasattr(ebn0_db, "dtype") else np
+    snr_lin = 10.0 ** (xp.asarray(ebn0_db) / 10.0)
     if spec.sigma_convention == "ebn0":
-        return float(np.sqrt(1.0 / (2.0 * rate * snr_lin)))
-    return float(np.sqrt(1.0 / (2.0 * snr_lin)))
+        out = xp.sqrt(1.0 / (2.0 * rate * snr_lin))
+    else:
+        out = xp.sqrt(1.0 / (2.0 * snr_lin))
+    return out if hasattr(ebn0_db, "dtype") else float(out)
 
 
 @functools.lru_cache(maxsize=None)

@@ -138,17 +138,19 @@ def _color_rows(parsed: ParsedMatrix) -> tuple:
     m = parsed.m
     groups: list[list[int]] = []
     group_cols: list[set] = []
-    # process rows in natural order to stay close to the reference sweep order
+    # balanced greedy: place each row in the *smallest* conflict-free group
+    # so super-layers end up near-equal (a tiny trailing layer would waste
+    # a full batched step on a handful of rows)
     for r in range(m):
         cols = set(parsed.row_cols[r].tolist())
-        placed = False
-        for gi in range(len(groups)):
-            if not (group_cols[gi] & cols):
-                groups[gi].append(r)
-                group_cols[gi] |= cols
-                placed = True
-                break
-        if not placed:
+        candidates = [
+            gi for gi in range(len(groups)) if not (group_cols[gi] & cols)
+        ]
+        if candidates:
+            gi = min(candidates, key=lambda i: len(groups[i]))
+            groups[gi].append(r)
+            group_cols[gi] |= cols
+        else:
             groups.append([r])
             group_cols.append(set(cols))
     return tuple(np.array(g, dtype=np.int32) for g in groups)

@@ -50,11 +50,13 @@ def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
     """Counters psum-reduced hierarchically over ('dcn', 'ici')."""
     step, enc = make_batch_step(code, cfg)
 
+    ebn0 = jnp.float32(cfg.ebn0_db)
+
     def device_step(key):
         h = jax.lax.axis_index("dcn")
         c = jax.lax.axis_index("ici")
         idx = h * jax.lax.axis_size("ici") + c
-        counters, _ = step(jax.random.fold_in(key, idx))
+        counters, _ = step(jax.random.fold_in(key, idx), ebn0)
         counters = jax.lax.psum(counters, axis_name="ici")
         return jax.lax.psum(counters, axis_name="dcn")
 
@@ -76,10 +78,12 @@ def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
     step, enc = make_batch_step(code, cfg)
     n_dev = mesh.devices.size
 
+    ebn0 = jnp.float32(cfg.ebn0_db)
+
     def device_step(key):
         # distinct stream per mesh position
         idx = jax.lax.axis_index("frames")
-        counters, _ = step(jax.random.fold_in(key, idx))
+        counters, _ = step(jax.random.fold_in(key, idx), ebn0)
         return jax.lax.psum(counters, axis_name="frames")
 
     fn = jax.shard_map(

@@ -153,10 +153,10 @@ def make_batch_step(code: NBCode, cfg: SimConfig,
     rate = code.rate
     make_codeword, enc = make_codeword_fn(code, cfg, enc)
 
-    def step(key):
+    def step(key, ebn0_db):
         kinfo, kchan = jax.random.split(key)
         cw = make_codeword(kinfo)
-        intrinsic = simulate(kchan, cw, q, cfg.channel, cfg.ebn0_db, rate)
+        intrinsic = simulate(kchan, cw, q, cfg.channel, ebn0_db, rate)
         decide, iters, conv = decode(g, intrinsic, cfg.decoder)
         # reference error convention (NB_LDPC.c:479-497): bit errors over
         # the first K codeword symbols' binary images
@@ -196,8 +196,11 @@ class MonteCarlo:
         key = jax.random.PRNGKey(cfg.seed)
         t0 = time.perf_counter()
         batch_idx = 0
+        ebn0 = jnp.float32(cfg.ebn0_db)
         while totals[0] < cfg.max_frames and totals[1] < cfg.stop_errors:
-            counters, _ = self.step(jax.random.fold_in(key, batch_idx))
+            counters, _ = self.step(
+                jax.random.fold_in(key, batch_idx), ebn0
+            )
             totals += np.asarray(counters, dtype=np.int64)
             batch_idx += 1
             if verbose:

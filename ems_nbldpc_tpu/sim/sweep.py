@@ -68,8 +68,7 @@ def run_sweep(
             if mc is None:
                 mc = MonteCarlo(code, cfg)
             else:
-                mc.cfg = cfg  # reuse compiled step; sigma is data
-                mc = MonteCarlo(code, cfg, enc=mc.enc)
+                mc.cfg = cfg  # sigma is a traced argument: no recompile
             r = mc.run(verbose=verbose)
         results.append(r)
         if verbose:
