@@ -53,3 +53,21 @@ def test_fer_overlaps_reference_full(ebn0):
     assert overlapping(r.frame_errors, r.frames, k, n), (
         f"{ebn0} dB: FER {r.fer:.5f} vs C {k}/{n}"
     )
+
+
+@pytest.mark.tpu
+def test_mat212_beats_reference():
+    """High-dc code (dc=12): the reference's nbOper=24 bubble budget starves
+    the CN; the TPU superset CN is measurably better. C anchor (essai_ubs
+    `10000 10 Mat212_N96_M16 4.0 25 0 24`, test.cbp Release config):
+    FER = 40/7368 = 0.00543, avg_it 1.58.
+    Measured here (r1): 15/8192 = 0.00183, avg_it 1.51."""
+    code = registry.get_code("Mat212_N96_M16")
+    cfg = SimConfig(
+        ebn0_db=4.0, frames_per_batch=4096, max_frames=16384,
+        stop_errors=10**9,
+        decoder=DecoderConfig(max_iters=10, schedule="layered", cn="ems",
+                              nm=25, offset=0.0),
+    )
+    r = MonteCarlo(code, cfg).run()
+    assert r.fer <= 0.00543 * 1.2
