@@ -101,3 +101,23 @@ def test_irregular_rows_padding():
         decide, _, conv = decode(code, jnp.asarray(intr), cfg)
         assert np.array_equal(np.asarray(decide), cw)
         assert np.all(np.asarray(conv))
+
+
+@pytest.mark.slow
+def test_flagship_gf256_compressed_decodes():
+    """DVB-T2-size GF(256) code through the compressed bf16 path."""
+    from ems_nbldpc_tpu.models.channels import ChannelSpec, sigma_for
+
+    code = registry.get_code("Declercq_64800_R12_GF256")
+    g = DeviceGraph.from_code(code)
+    cw = jnp.zeros((1, code.n), jnp.int32)
+    intr, _ = bpsk_awgn(
+        jax.random.PRNGKey(0), cw, 256,
+        sigma_for(ChannelSpec(), 2.5, code.rate),
+    )
+    cfg = DecoderConfig(max_iters=10, schedule="layered", cn="ems", nm=32,
+                        offset=0.3, storage="compressed", dtype="bfloat16")
+    d, it, conv = decode(g, intr, cfg)
+    assert bool(np.asarray(conv).all())
+    assert (np.asarray(d) == 0).all()
+    assert int(np.asarray(it)[0]) <= 8
