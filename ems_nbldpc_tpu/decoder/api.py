@@ -10,7 +10,6 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from ..models.code import NBCode
 from .flooding import decode_flooding
 from .graph import DeviceGraph
 from .layered import decode_layered

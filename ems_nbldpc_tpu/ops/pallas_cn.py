@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .minconv import INF
 
 
 def _xor_gather_lanes(a, g, q):

@@ -10,12 +10,10 @@ mesh — same program, DCN-aware collectives courtesy of XLA.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.code import NBCode
 from ..sim.mc import SimConfig, make_batch_step

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..decoder.api import DecoderConfig, decode
 from ..decoder.graph import DeviceGraph
-from ..models.channels import ChannelSpec, sigma_for, simulate
+from ..models.channels import ChannelSpec, simulate
 from ..models.code import NBCode
 from ..models.encoder import Encoder, gaussian_elimination
 from ..utils.stats import wilson_ci

@@ -15,8 +15,6 @@ import os
 import time
 from typing import Iterable, Optional
 
-from ..decoder.api import DecoderConfig
-from ..models.channels import ChannelSpec
 from ..models.code import NBCode
 from .mc import MonteCarlo, SimConfig, SimResult
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..decoder.api import DecoderConfig, decode
+from ..decoder.api import decode
 from ..decoder.graph import DeviceGraph
 from ..models.channels import simulate
 from ..models.code import NBCode
