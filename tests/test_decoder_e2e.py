@@ -121,3 +121,19 @@ def test_flagship_gf256_compressed_decodes():
     assert bool(np.asarray(conv).all())
     assert (np.asarray(d) == 0).all()
     assert int(np.asarray(it)[0]) <= 8
+
+
+def test_small_field_gf8_decode():
+    """Fields below GF(16) — which the C reference cannot load — decode."""
+    from ems_nbldpc_tpu.models.code import random_regular
+
+    code = random_regular(60, 30, 8, dv=2, seed=1)
+    enc = gaussian_elimination(code)
+    rng = np.random.default_rng(0)
+    info = rng.integers(0, 8, size=(16, code.k))
+    cw = enc.encode_np(info)
+    sigma = sigma_for(ChannelSpec(), 4.0, code.rate)
+    intr, _ = bpsk_awgn(jax.random.PRNGKey(2), jnp.asarray(cw), 8, sigma)
+    cfg = DecoderConfig(max_iters=15, schedule="layered", cn="minsum")
+    d, _, conv = decode(code, intr, cfg)
+    assert (np.asarray(d) == cw).all(axis=1).mean() > 0.8
