@@ -73,6 +73,28 @@ class RotationPlan:
         mode = os.environ.get("NBLDPC_ROT", "auto")
         if mode == "auto":
             mode = "grouped" if len(self.bounds) <= 24 else "gather"
+        if mode == "matmul":
+            # one-hot permutation matmul per coefficient group: rides the
+            # MXU instead of the gather unit (bf16 0/1 operands are exact)
+            perms = self.perm_in if direction == "in" else self.perm_out
+            xs = x[:, self.sort_idx]
+            parts = []
+            for i, (s, e) in enumerate(self.bounds):
+                q = len(perms[i])
+                oh = np.zeros((q, q), np.float32)
+                # out[c] = in[perm[c]]  ->  oh[perm[c], c] = 1
+                oh[perms[i], np.arange(q)] = 1.0
+                parts.append(
+                    jnp.einsum(
+                        "fpu,uc->fpc",
+                        xs[:, s:e].astype(jnp.bfloat16),
+                        jnp.asarray(oh, jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype)
+                )
+            xs = (parts[0] if len(parts) == 1
+                  else jnp.concatenate(parts, axis=1))
+            return xs[:, self.unsort_idx]
         if mode == "gather":
             perms = self.perm_in if direction == "in" else self.perm_out
             full = np.zeros((len(self.sort_idx), len(perms[0])), np.int32)
