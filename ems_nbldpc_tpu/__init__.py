@@ -12,4 +12,7 @@ per chip and sharded over TPU meshes for Monte-Carlo FER sweeps.
 __version__ = "0.1.0"
 
 from . import gf  # noqa: F401
+from .decoder.api import DecoderConfig, decode  # noqa: F401
 from .models import NBCode  # noqa: F401
+from .models.registry import get_code  # noqa: F401
+from .sim.mc import MonteCarlo, SimConfig  # noqa: F401

@@ -47,8 +47,14 @@ class ParsedMatrix:
 
 
 def _read_ints(path: str) -> np.ndarray:
-    with open(path, "r") as f:
-        txt = f.read()
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt") as f:
+            txt = f.read()
+    else:
+        with open(path, "r") as f:
+            txt = f.read()
     return np.array(txt.split(), dtype=np.int64)
 
 

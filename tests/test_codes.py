@@ -89,3 +89,8 @@ def test_bit_generator_matches_symbol_encoder():
 def test_alist_mackay_loads():
     code = registry.get_code("MacKay/q4.sp.9000.6000.4500.1", fmt="alist")
     assert code.q == 4 and code.n == 9000 and code.m_rows == 6000
+
+
+def test_gzipped_alist_loads():
+    code = registry.get_code("MacKay/q4.sp.9000.6000.4500.1.gz", fmt="alist")
+    assert code.q == 4 and code.n == 9000
