@@ -18,9 +18,10 @@ BUILD = "/tmp/nbldpc_ref_build"
 CACHE = "/tmp/nbldpc_c_baseline.json"
 
 
-def ensure_built() -> str | None:
-    """Compile the reference (KN-format build) once; return binary path."""
-    exe = os.path.join(BUILD, "essai_kn")
+def ensure_built(fmt: str = "kn") -> str | None:
+    """Compile the reference once per matrix-format variant (the format is
+    a compile-time #define, init.c:25); return the binary path."""
+    exe = os.path.join(BUILD, f"essai_{fmt}")
     if os.path.exists(exe):
         return exe
     if not os.path.isdir(REF):
@@ -29,12 +30,19 @@ def ensure_built() -> str | None:
         shutil.copytree(REF, BUILD, dirs_exist_ok=True)
         os.makedirs(os.path.join(BUILD, "obj"), exist_ok=True)
         os.makedirs(os.path.join(BUILD, "data"), exist_ok=True)
-        subprocess.run(["make"], cwd=BUILD, capture_output=True)
+        initc = os.path.join(BUILD, "init.c")
+        src = open(initc).read()
+        if fmt == "ubs":
+            src = src.replace("#define KN_matrix", "//#define KN_matrix")
+        else:
+            src = src.replace("//#define KN_matrix", "#define KN_matrix")
+        open(initc, "w").write(src)
+        subprocess.run(["make", "-B"], cwd=BUILD, capture_output=True)
         objs = [f"obj/{o}.o" for o in
                 ["init", "tools", "channel", "bubble_decoder",
                  "syndrome_decoder", "NB_LDPC"]]
         subprocess.run(
-            ["gcc", "-O3", "-o", "essai_kn", *objs, "-lm"],
+            ["gcc", "-O3", "-o", f"essai_{fmt}", *objs, "-lm"],
             cwd=BUILD, check=True, capture_output=True,
         )
         return exe
@@ -43,7 +51,8 @@ def ensure_built() -> str | None:
 
 
 def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
-            nm: int = 30, offset: float = 0.3, nboper: int = 45) -> dict | None:
+            nm: int = 30, offset: float = 0.3, nboper: int = 45,
+            fmt: str = "kn", timeout: int = 1200) -> dict | None:
     """Time the C binary; returns dict with frames/s and FER, or None."""
     key = f"{matrix}:{ebn0}:{frames}:{iters}:{nm}:{offset}:{nboper}"
     cache = {}
@@ -54,7 +63,7 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
             cache = {}
     if key in cache:
         return cache[key]
-    exe = ensure_built()
+    exe = ensure_built(fmt)
     if exe is None:
         return None
     t0 = time.perf_counter()
@@ -63,7 +72,7 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
             [exe, str(frames), str(iters), f"./matrices/{matrix}",
              str(ebn0), str(nm), str(offset), str(nboper)],
             cwd=BUILD, stdin=subprocess.DEVNULL, capture_output=True,
-            timeout=1200, text=True,
+            timeout=timeout, text=True,
         )
     except subprocess.TimeoutExpired:
         return None

@@ -157,6 +157,9 @@ def decode_layered(
     return decide, iters, conv
 
 
+_stepper_cache: dict = {}
+
+
 def make_layered_stepper(
     g: DeviceGraph,
     nm: int = 0,
@@ -173,6 +176,10 @@ def make_layered_stepper(
     (init_fn, step_fn): ``state = init_fn(intrinsic)``,
     ``state = step_fn(state)``; state = (app, ctov, decide, conv, iters).
     """
+    key = (id(g), nm, offset, cn, cn_impl,
+           tuple(sorted((syn or {}).items())))
+    if key in _stepper_cache:
+        return _stepper_cache[key]
     plans = _layer_plan(g)
     n, q, e = g.code.n, g.q, g.n_edges
     truncate = cn == "ems" and nm < q
@@ -242,6 +249,7 @@ def make_layered_stepper(
         iters = iters + active.astype(jnp.int32)
         return app, ctov, decide, conv, iters
 
+    _stepper_cache[key] = (init_fn, step_fn)
     return init_fn, step_fn
 
 
@@ -264,6 +272,9 @@ def make_layered_compressed_stepper(
     g: DeviceGraph, nm: int, offset: float = 0.3,
     dtype=jnp.bfloat16,
 ):
+    key = ("compressed", id(g), nm, offset, jnp.dtype(dtype).name)
+    if key in _stepper_cache:
+        return _stepper_cache[key]
     """Layered EMS with nm-compressed CtoV storage (big-code path).
 
     For DVB-T2-scale GF(256) codes the dense CtoV FIFO is the memory/HBM
@@ -360,6 +371,7 @@ def make_layered_compressed_stepper(
         iters = iters + active.astype(jnp.int32)
         return app, cv_v, cv_g, cv_sat, decide, conv, iters
 
+    _stepper_cache[key] = (init_fn, step_fn)
     return init_fn, step_fn
 
 
