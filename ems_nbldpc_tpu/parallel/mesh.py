@@ -47,6 +47,7 @@ def make_mesh_2d(hosts: int, chips_per_host: int, devices=None) -> Mesh:
 def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
     """Counters psum-reduced hierarchically over ('dcn', 'ici')."""
     step, enc = make_batch_step(code, cfg)
+    pmat = jax.device_put(step.pmat)
 
     ebn0 = jnp.float32(cfg.ebn0_db)
 
@@ -54,7 +55,7 @@ def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
         h = jax.lax.axis_index("dcn")
         c = jax.lax.axis_index("ici")
         idx = h * jax.lax.axis_size("ici") + c
-        counters, _ = step(jax.random.fold_in(key, idx), ebn0)
+        counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
         counters = jax.lax.psum(counters, axis_name="ici")
         return jax.lax.psum(counters, axis_name="dcn")
 
@@ -75,13 +76,14 @@ def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
     """
     step, enc = make_batch_step(code, cfg)
     n_dev = mesh.devices.size
+    pmat = jax.device_put(step.pmat)
 
     ebn0 = jnp.float32(cfg.ebn0_db)
 
     def device_step(key):
         # distinct stream per mesh position
         idx = jax.lax.axis_index("frames")
-        counters, _ = step(jax.random.fold_in(key, idx), ebn0)
+        counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
         return jax.lax.psum(counters, axis_name="frames")
 
     fn = jax.shard_map(

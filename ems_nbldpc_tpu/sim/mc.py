@@ -104,23 +104,27 @@ def _popcount(x):
 
 def make_codeword_fn(code: NBCode, cfg: SimConfig,
                      enc: Optional[Encoder] = None):
-    """Returns (make_codeword(kinfo) -> [F, N] symbols, encoder)."""
+    """Returns (make_codeword(kinfo, pmat) -> [F, N] symbols, encoder,
+    pmat).  The generator bit-matrix is threaded as a runtime argument —
+    NOT a traced-in constant — because for DVB-T2-size codes it is GBs and
+    constant-embedding blows up compilation (and the remote-compile
+    transport).  Callers device_put it once and pass it per call."""
     f = cfg.frames_per_batch
     n, k, logq = code.n, code.k, code.logq
     if cfg.encode == "device":
         if enc is None:
             enc = gaussian_elimination(code)
-        pmat = np.asarray(enc.bit_generator, np.float32)
+        pmat_np = np.asarray(enc.bit_generator, np.int8)
         perm = enc.perm
         shifts = np.arange(logq, dtype=np.int32)
 
-        def make_codeword(kinfo):
+        def make_codeword(kinfo, pmat):
             info_bits = jax.random.bernoulli(kinfo, 0.5, (f, k * logq))
             # bf16 matmul with f32 accumulation is exact for 0/1 operands
             # and 5x faster on the MXU than f32
             acc = jnp.dot(
                 info_bits.astype(jnp.bfloat16),
-                jnp.asarray(pmat, jnp.bfloat16),
+                pmat.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
             par_bits = jnp.mod(jnp.round(acc).astype(jnp.int32), 2)
@@ -137,11 +141,14 @@ def make_codeword_fn(code: NBCode, cfg: SimConfig,
             cw = cw.at[:, perm[code.m_rows:]].set(info_syms)
             return cw
     elif cfg.encode == "zero":
-        def make_codeword(kinfo):
+        pmat_np = np.zeros((1, 1), np.int8)
+
+        def make_codeword(kinfo, pmat):
+            del pmat
             return jnp.zeros((f, n), jnp.int32)
     else:
         raise ValueError(cfg.encode)
-    return make_codeword, enc
+    return make_codeword, enc, pmat_np
 
 
 def make_batch_step(code: NBCode, cfg: SimConfig,
@@ -155,11 +162,11 @@ def make_batch_step(code: NBCode, cfg: SimConfig,
     q, n, k, logq = code.q, code.n, code.k, code.logq
     f = cfg.frames_per_batch
     rate = code.rate
-    make_codeword, enc = make_codeword_fn(code, cfg, enc)
+    make_codeword, enc, pmat_np = make_codeword_fn(code, cfg, enc)
 
-    def step(key, ebn0_db):
+    def step(key, ebn0_db, pmat):
         kinfo, kchan = jax.random.split(key)
-        cw = make_codeword(kinfo)
+        cw = make_codeword(kinfo, pmat)
         intrinsic = simulate(kchan, cw, q, cfg.channel, ebn0_db, rate)
         decide, iters, conv = decode(g, intrinsic, cfg.decoder)
         # reference error convention (NB_LDPC.c:479-497): bit errors over
@@ -176,6 +183,7 @@ def make_batch_step(code: NBCode, cfg: SimConfig,
             iters.sum(),
         ], jnp.int32), frame_err
 
+    step.pmat = pmat_np
     return step, enc
 
 
@@ -197,6 +205,7 @@ class MonteCarlo:
                        or cfg.decoder.storage == "compressed")
         if jit:
             step, self.enc = make_batch_step(code, cfg, enc)
+            self._pmat = jax.device_put(step.pmat)
             self.step = jax.jit(step)
         else:
             self.step = self._make_split_step(code, cfg, enc)
@@ -206,14 +215,15 @@ class MonteCarlo:
         from ..decoder.graph import DeviceGraph
 
         g = DeviceGraph.from_code(code)
-        make_codeword, self.enc = make_codeword_fn(code, cfg, enc)
+        make_codeword, self.enc, pmat_np = make_codeword_fn(code, cfg, enc)
+        self._pmat = jax.device_put(pmat_np)
         k, logq = code.k, code.logq
         rate = code.rate
 
         @jax.jit
-        def gen(key, ebn0):
+        def gen(key, ebn0, pmat):
             kinfo, kchan = jax.random.split(key)
-            cw = make_codeword(kinfo)
+            cw = make_codeword(kinfo, pmat)
             intr = simulate(kchan, cw, code.q, cfg.channel, ebn0, rate)
             return cw, intr
 
@@ -227,8 +237,8 @@ class MonteCarlo:
                 (frame_err & conv).sum(), iters.sum(),
             ], jnp.int32), frame_err
 
-        def step(key, ebn0):
-            cw, intr = gen(key, ebn0)
+        def step(key, ebn0, pmat):
+            cw, intr = gen(key, ebn0, pmat)
             decide, iters, conv = decode_fn(g, intr, cfg.decoder)
             return count(decide, cw, iters, conv)
 
@@ -243,7 +253,7 @@ class MonteCarlo:
         ebn0 = jnp.float32(cfg.ebn0_db)
         while totals[0] < cfg.max_frames and totals[1] < cfg.stop_errors:
             counters, _ = self.step(
-                jax.random.fold_in(key, batch_idx), ebn0
+                jax.random.fold_in(key, batch_idx), ebn0, self._pmat
             )
             totals += np.asarray(counters, dtype=np.int64)
             batch_idx += 1

@@ -33,12 +33,13 @@ def make_twophase(code: NBCode, cfg: SimConfig, phase_a_iters: int = 3,
 
     from .mc import make_codeword_fn
 
-    _cw, enc = make_codeword_fn(code, cfg)
+    _cw, enc, pmat_np = make_codeword_fn(code, cfg)
+    pmat_dev = jax.device_put(pmat_np)
 
     @jax.jit
-    def gen(key):
+    def gen(key, pmat):
         kinfo, kchan = jax.random.split(key)
-        cw = _cw(kinfo)
+        cw = _cw(kinfo, pmat)
         intr = simulate(kchan, cw, code.q, cfg.channel, cfg.ebn0_db,
                         code.rate)
         return cw, intr
@@ -66,7 +67,7 @@ def make_twophase(code: NBCode, cfg: SimConfig, phase_a_iters: int = 3,
         ], jnp.int32)
 
     def run_batch(key):
-        cw, intr = gen(key)
+        cw, intr = gen(key, pmat_dev)
         decide, iters, conv = phase_a(intr)
         conv_np = np.array(conv)
         decide = np.array(decide)
