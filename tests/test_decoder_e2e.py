@@ -137,3 +137,24 @@ def test_small_field_gf8_decode():
     cfg = DecoderConfig(max_iters=15, schedule="layered", cn="minsum")
     d, _, conv = decode(code, intr, cfg)
     assert (np.asarray(d) == cw).all(axis=1).mean() > 0.8
+
+
+def test_hostloop_matches_deviceloop():
+    code, cw, intrinsic = _setup(frames=48, ebn0=2.5)
+    cfg_d = DecoderConfig(max_iters=8, schedule="layered", cn="ems", nm=12,
+                          offset=0.3, loop="device")
+    cfg_h = DecoderConfig(max_iters=8, schedule="layered", cn="ems", nm=12,
+                          offset=0.3, loop="host")
+    dd, it_d, cv_d = decode(code, intrinsic, cfg_d)
+    dh, it_h, cv_h = decode(code, intrinsic, cfg_h)
+    assert np.array_equal(np.asarray(dd), np.asarray(dh))
+    assert np.array_equal(np.asarray(cv_d), np.asarray(cv_h))
+    assert np.array_equal(np.asarray(it_d), np.asarray(it_h))
+
+
+def test_syndrome_cn_flooding_schedule():
+    code, cw, intrinsic = _setup(frames=32, ebn0=3.5)
+    cfg = DecoderConfig(max_iters=10, schedule="flooding", cn="syndrome",
+                        nm=12, syn_ncv=24, syn_d=(11, 4, 2))
+    d, _, conv = decode(code, intrinsic, cfg)
+    assert (np.asarray(d) == cw).all(axis=1).mean() > 0.85
