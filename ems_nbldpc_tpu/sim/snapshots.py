@@ -18,7 +18,7 @@ from ..decoder.graph import DeviceGraph
 from ..decoder.layered import make_layered_stepper
 from ..models.channels import simulate
 from ..models.code import NBCode
-from .mc import SimConfig, _popcount
+from .mc import SimConfig, _popcount, make_codeword_fn
 
 
 @dataclasses.dataclass
@@ -45,15 +45,13 @@ def run_snapshots(code: NBCode, cfg: SimConfig, budgets=(10, 20, 30, 40, 50),
     budgets = sorted(budgets)
     k = code.k
 
+    make_codeword, _enc, pmat_np = make_codeword_fn(code, cfg)
+    pmat_dev = jax.device_put(pmat_np)
+
     @jax.jit
-    def gen(key):
+    def gen(key, pmat):
         kinfo, kchan = jax.random.split(key)
-        if cfg.encode == "zero":
-            cw = jnp.zeros((cfg.frames_per_batch, code.n), jnp.int32)
-        else:
-            raise NotImplementedError(
-                "snapshots currently use zero-codeword mode"
-            )
+        cw = make_codeword(kinfo, pmat)
         intr = simulate(kchan, cw, code.q, cfg.channel, cfg.ebn0_db,
                         code.rate)
         return cw, intr
@@ -69,7 +67,7 @@ def run_snapshots(code: NBCode, cfg: SimConfig, budgets=(10, 20, 30, 40, 50),
     be = {b: 0 for b in budgets}
     key = jax.random.PRNGKey(cfg.seed)
     for bidx in range(batches):
-        cw, intr = gen(jax.random.fold_in(key, bidx))
+        cw, intr = gen(jax.random.fold_in(key, bidx), pmat_dev)
         state = init_fn(intr)
         frames += cfg.frames_per_batch
         it = 0
