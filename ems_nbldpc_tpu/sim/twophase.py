@@ -47,13 +47,19 @@ def make_twophase(code: NBCode, cfg: SimConfig, phase_a_iters: int = 3,
     cfg_a = dataclasses.replace(d, max_iters=phase_a_iters)
     cfg_b = d
 
-    @jax.jit
+    # host-loop / compressed decoders carry python control flow and jit
+    # internally per iteration; only whole-decode jit the pure variants
+    jittable = d.loop != "host" and d.storage != "compressed"
+
     def phase_a(intr):
         return decode(g, intr, cfg_a)
 
-    @jax.jit
     def phase_b(intr):
         return decode(g, intr, cfg_b)
+
+    if jittable:
+        phase_a = jax.jit(phase_a)
+        phase_b = jax.jit(phase_b)
 
     @jax.jit
     def count(decide, cw, iters, conv):

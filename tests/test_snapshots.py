@@ -50,3 +50,19 @@ def test_twophase_matches_singlephase_fer():
     # (phase B restarts from scratch with the full budget)
     assert r1.frame_errors == r2.frame_errors
     assert r1.frames == r2.frames
+
+
+def test_sweep_resume_skips_done_points(tmp_path):
+    from ems_nbldpc_tpu.sim.sweep import run_sweep
+
+    code = registry.get_code("Mat24_N48_M24")
+    base = SimConfig(
+        ebn0_db=0, frames_per_batch=64, max_frames=64, stop_errors=10**9,
+        decoder=DecoderConfig(max_iters=3, schedule="layered", cn="ems",
+                              nm=12, offset=0.3),
+    )
+    r1 = run_sweep(code, [2.0], base, out_dir=str(tmp_path), verbose=False)
+    assert len(r1) == 1
+    r2 = run_sweep(code, [2.0, 2.5], base, out_dir=str(tmp_path),
+                   verbose=False, resume=True)
+    assert len(r2) == 1  # 2.0 skipped, only 2.5 ran
