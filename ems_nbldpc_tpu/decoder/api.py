@@ -62,6 +62,11 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
             presort=cfg.syn_presort, sat_rule=cfg.syn_sat,
         )
     if cfg.schedule == "flooding":
+        if cfg.storage == "compressed":
+            raise ValueError(
+                "compressed storage is implemented for the layered "
+                "schedule (the big-code path); use schedule='layered'"
+            )
         return decode_flooding(g, intrinsic, **kw)
     if cfg.schedule == "layered":
         if cfg.storage == "compressed":

@@ -74,6 +74,12 @@ def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
     ``cfg.frames_per_batch`` is the *per-device* batch; each device draws an
     independent PRNG stream by folding in its mesh position.
     """
+    if cfg.decoder.loop == "host" or cfg.decoder.storage == "compressed":
+        raise ValueError(
+            "mesh sharding wraps the whole batch step in shard_map/jit; "
+            "host-loop/compressed decoders cannot run inside it. Shard "
+            "big-code work by running one process per device instead."
+        )
     step, enc = make_batch_step(code, cfg)
     n_dev = mesh.devices.size
     pmat = jax.device_put(step.pmat)
