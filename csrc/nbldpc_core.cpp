@@ -19,6 +19,9 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -284,6 +287,22 @@ int nbldpc_decode_batch(
   c.n_edges = c.edge_offset[m];
   c.gf = build_tables(q);
 
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    Workspace ws;
+#pragma omp for schedule(dynamic)
+    for (int f = 0; f < frames; ++f) {
+      bool conv = false;
+      int it = decode_frame(c, intrinsic + (size_t)f * n * q, max_iters, nm,
+                            offset, nb_oper, ws, &conv);
+      iters[f] = it;
+      converged[f] = conv ? 1 : 0;
+      std::memcpy(decisions + (size_t)f * n, ws.decide.data(),
+                  sizeof(int) * n);
+    }
+  }
+#else
   Workspace ws;
   for (int f = 0; f < frames; ++f) {
     bool conv = false;
@@ -294,6 +313,7 @@ int nbldpc_decode_batch(
     std::memcpy(decisions + (size_t)f * n, ws.decide.data(),
                 sizeof(int) * n);
   }
+#endif
   return 0;
 }
 
