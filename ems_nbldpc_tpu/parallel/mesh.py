@@ -57,15 +57,20 @@ def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
         idx = h * jax.lax.axis_size("ici") + c
         counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
         counters = jax.lax.psum(counters, axis_name="ici")
-        return jax.lax.psum(counters, axis_name="dcn")
+        return jax.lax.psum(counters, axis_name="dcn")[None, None]
 
     fn = jax.shard_map(
-        device_step, mesh=mesh, in_specs=P(), out_specs=P(),
+        device_step, mesh=mesh, in_specs=P(),
+        out_specs=P("dcn", "ici"),
         check_vma=False,
     )
     jitted = jax.jit(fn)
-    jitted.encoder = enc
-    return jitted
+
+    def run_step(key):
+        return jitted(key)[0, 0]
+
+    run_step.encoder = enc
+    return run_step
 
 
 def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
@@ -90,20 +95,23 @@ def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
         # distinct stream per mesh position
         idx = jax.lax.axis_index("frames")
         counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
-        return jax.lax.psum(counters, axis_name="frames")
+        # psum makes every device hold the global totals; return them as a
+        # per-device row (stacked output) rather than relying on the
+        # replicated-output fast path, which is fragile with check_vma off
+        return jax.lax.psum(counters, axis_name="frames")[None]
 
     fn = jax.shard_map(
         device_step,
         mesh=mesh,
         in_specs=P(),          # same key everywhere; fold_in differentiates
-        out_specs=P(),         # fully replicated reduced counters
+        out_specs=P("frames"),
         check_vma=False,       # while_loop carries start replicated, become
         #                        device-varying after the first iteration
     )
     jitted = jax.jit(fn)
 
     def run_step(key):
-        return jitted(key)
+        return jitted(key)[0]
 
     run_step.n_devices = n_dev
     run_step.encoder = enc
