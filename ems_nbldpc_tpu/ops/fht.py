@@ -20,6 +20,7 @@ channels, so P = exp(-cost) is the exact likelihood up to normalization).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,35 @@ import numpy as np
 from .minconv import delta_message
 
 _LOG_EPS = 60.0  # cost clamp: exp(-60) ~ 1e-26 keeps WHT well-conditioned
+
+# The WHT is a sum of q same-magnitude terms with massive cancellation in
+# the inverse direction: out_p ~ 1/q * sum of O(1) terms.  TPU matmuls
+# default to bfloat16 accumulation-input precision, which destroys the
+# small probabilities entirely (measured: the flagship GF(256) decode
+# stops converging at all).  Force >= 3-pass (float32-equivalent) matmul
+# precision; "butterfly" uses log2(q) add/sub stages on the VPU instead
+# (exact f32, no MXU).
+_WHT_IMPL = os.environ.get("NBLDPC_WHT", "matmul")
+_WHT_PRECISION = jax.lax.Precision(
+    os.environ.get("NBLDPC_WHT_PRECISION", "highest")
+)
+
+
+def wht(x: jax.Array) -> jax.Array:
+    """Walsh-Hadamard transform along the last axis (unnormalized)."""
+    q = x.shape[-1]
+    if _WHT_IMPL == "butterfly":
+        m = q.bit_length() - 1
+        for b in range(m):
+            s = 1 << b
+            lo = (jnp.arange(q) & s) == 0
+            flip = jnp.roll(x, -s, axis=-1)
+            flop = jnp.roll(x, s, axis=-1)
+            x = jnp.where(lo, x + flip, flop - x)
+        return x
+    h = jnp.asarray(hadamard(q))
+    return jnp.einsum("...v,uv->...u", x, h, precision=_WHT_PRECISION,
+                      preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,10 +93,8 @@ def fb_checknode_spa(vr_cost: jax.Array,
     if valid is not None:
         neutral = delta_message(vr_cost.shape[:-1], q, vr_cost.dtype)
         vr_cost = jnp.where(valid[..., None], vr_cost, neutral)
-    h = jnp.asarray(hadamard(q))
     p = costs_to_probs(vr_cost)
-    w = jnp.einsum("...v,uv->...u", p, h,
-                   preferred_element_type=jnp.float32)   # [..., dc, q]
+    w = wht(p)                                           # [..., dc, q]
     if dc == 1:
         out_w = jnp.ones_like(w)
     elif dc == 2:
@@ -83,8 +111,7 @@ def fb_checknode_spa(vr_cost: jax.Array,
             outs.append(fwd[i - 1] * bwd[i])
         outs.append(fwd[-1])
         out_w = jnp.stack(outs, axis=-2)
-    out_p = jnp.einsum("...u,uv->...v", out_w, h,
-                       preferred_element_type=jnp.float32) / q
+    out_p = wht(out_w) / q
     # numerical floor: tiny negatives from cancellation clamp to ~0
     out_p = jnp.maximum(out_p, 1e-30)
     return probs_to_costs(out_p)
