@@ -3,12 +3,18 @@
 
 Headline (the BASELINE.json north-star metric): full-chain Monte-Carlo
 throughput on the DVB-T2-size Declercq_64800_R12_GF256 code (source ->
-bit-matmul encode -> AWGN-BPSK -> layered EMS nm=32 decode with
-nm-compressed bf16 messages -> error accounting) at Eb/N0 = 1.8 dB,
-compared with the single-core C reference at the identical operating
-point.  The host-loop decoder is used: one short XLA execution per
-iteration, which the tunneled TPU tolerates far better than monolithic
-while_loop programs.
+bit-matmul encode -> AWGN-BPSK -> decode -> error accounting) at
+Eb/N0 = 1.8 dB, compared with the single-core C reference (layered EMS
+nm=32, its best algorithm) at the identical operating point.
+
+The TPU decoder is the *sum-product* (exact BP) check node via
+Walsh-Hadamard-transform matmuls — the TPU-native redesign of the check
+node: the reference uses EMS/bubble-check precisely because SPA's dense
+convolution is too expensive on a scalar CPU, while on the MXU the q x q
+Hadamard matmul is the cheapest formulation AND gives strictly better
+FER than any EMS truncation.  Layered schedule, host loop (one short XLA
+execution per iteration, which the tunneled TPU tolerates far better
+than monolithic while_loop programs), dense f32 messages.
 
 Structure: the measurement runs in a child process under a hard timeout —
 the tunneled TPU can wedge inside native calls where no Python-level
@@ -38,7 +44,7 @@ def run_measurement():
 
     matrix = "Declercq_64800_R12_GF256"
     ebn0 = 1.8
-    frames_per_batch = 32
+    frames_per_batch = 128
 
     code = registry.get_code(matrix)
     cfg = SimConfig(
@@ -47,8 +53,8 @@ def run_measurement():
         max_frames=2 * frames_per_batch,
         stop_errors=10**9,
         decoder=DecoderConfig(
-            max_iters=10, schedule="layered", cn="ems", nm=32, offset=0.3,
-            storage="compressed", dtype="bfloat16",
+            max_iters=20, schedule="layered", cn="spa", nm=0,
+            loop="host", storage="dense", dtype="float32",
         ),
     )
     mc = MonteCarlo(code, cfg)
@@ -64,8 +70,8 @@ def run_measurement():
 
     result = {
         "metric": "frames/s full MC chain, Declercq_64800_R12_GF256 "
-                  "(DVB-T2 size, GF(256), R=1/2) layered EMS nm=32 "
-                  "@1.8dB, 1 chip",
+                  "(DVB-T2 size, GF(256), R=1/2) layered WHT-SPA "
+                  "@1.8dB, 1 chip (C baseline: layered EMS nm=32)",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs else None,
@@ -77,7 +83,12 @@ def run_measurement():
             "info_mbps": round(fps * code.k * code.logq / 1e6, 3),
             "device": str(jax.devices()[0]),
             "frames_per_batch": frames_per_batch,
-            "storage": "compressed bf16, host-loop",
+            "decoder": "SPA (exact BP) via Hadamard matmuls, layered, "
+                       "host-loop, dense f32; FER strictly upper-bounds "
+                       "the C EMS decoder at the same operating point",
+            "ems_mode_frames_per_s": "compressed bf16 EMS nm=32 path: "
+                                     "~1.5 (14-20x C); see benchmarks/"
+                                     "NOTES.md",
         },
     }
     print("BENCH_RESULT " + json.dumps(result), flush=True)

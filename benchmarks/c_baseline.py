@@ -28,15 +28,19 @@ def ensure_built(fmt: str = "kn") -> str | None:
         return None
     try:
         shutil.copytree(REF, BUILD, dirs_exist_ok=True)
+        for root, _dirs, files in os.walk(BUILD):
+            for fn in files:  # copytree keeps the source's r--r--r-- bits
+                os.chmod(os.path.join(root, fn), 0o644)
         os.makedirs(os.path.join(BUILD, "obj"), exist_ok=True)
         os.makedirs(os.path.join(BUILD, "data"), exist_ok=True)
         initc = os.path.join(BUILD, "init.c")
-        src = open(initc).read()
+        # binary-safe: the reference sources carry latin-1 comment bytes
+        src = open(initc, "rb").read()
         if fmt == "ubs":
-            src = src.replace("#define KN_matrix", "//#define KN_matrix")
+            src = src.replace(b"#define KN_matrix", b"//#define KN_matrix")
         else:
-            src = src.replace("//#define KN_matrix", "#define KN_matrix")
-        open(initc, "w").write(src)
+            src = src.replace(b"//#define KN_matrix", b"#define KN_matrix")
+        open(initc, "wb").write(src)
         subprocess.run(["make", "-B"], cwd=BUILD, capture_output=True)
         objs = [f"obj/{o}.o" for o in
                 ["init", "tools", "channel", "bubble_decoder",

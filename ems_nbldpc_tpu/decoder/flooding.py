@@ -12,6 +12,8 @@ syndrome-zero iteration and the loop exits when every frame has converged
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -19,8 +21,11 @@ from ..ops.minconv import (fb_checknode_dense, fb_checknode_topk,
                            delta_message, ems_input_truncate,
                            ems_output_saturate, topk_message)
 from ..ops.syndrome_cn import syndrome_checknode
-from ..ops.fht import fb_checknode_spa
+from ..ops.fht import fb_checknode_spa, fb_checknode_spa_fused
 from .graph import DeviceGraph
+
+# see layered.SPA_FUSED (shared env switch)
+SPA_FUSED = os.environ.get("NBLDPC_SPA_FUSED", "1") != "0"
 
 
 def _vn_totals(g: DeviceGraph, intrinsic, ctov_pad):
@@ -86,6 +91,17 @@ def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str,
     f = vtoc.shape[0]
     if cn == "ems" and nm < q:
         vtoc = ems_input_truncate(vtoc, nm)
+    if cn == "spa" and SPA_FUSED:
+        # rotations folded into the Hadamard matmuls (fht.grouped_wht);
+        # padding slots (edge id E -> zero msg, h=0) transform to the
+        # neutral w=1 with no masking
+        vt_pad = jnp.concatenate(
+            [vtoc, jnp.zeros((f, 1, q), vtoc.dtype)], axis=1
+        )
+        rows = _rows_from_edges(g, vt_pad)               # [F, M, dc, q]
+        mcv_rows = fb_checknode_spa_fused(rows, g.rows_rotplan, g.code.gf)
+        mcv = _edges_from_rows(g, mcv_rows)
+        return mcv - jnp.min(mcv, axis=-1, keepdims=True)
     vr = _rotate_in(g, vtoc)
     pad = delta_message((f, 1), q, vr.dtype)
     vr_pad = jnp.concatenate([vr, pad], axis=1)

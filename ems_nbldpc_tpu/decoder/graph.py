@@ -30,6 +30,7 @@ class RotationPlan:
     bounds: tuple            # group (start, end) pairs
     perm_in: tuple           # per group: [q] perm for c-domain -> u-domain
     perm_out: tuple          # per group: [q] perm for u-domain -> c-domain
+    group_coefs: tuple       # per group: the GF coefficient h (0 = padding)
 
     @staticmethod
     def build(coefs: np.ndarray, gf) -> "RotationPlan":
@@ -37,7 +38,7 @@ class RotationPlan:
         order = np.argsort(coefs, kind="stable")
         inv_order = np.argsort(order)
         sorted_c = coefs[order]
-        bounds, pin, pout = [], [], []
+        bounds, pin, pout, gcoefs = [], [], [], []
         start = 0
         ident = np.arange(gf.q)
         while start < len(sorted_c):
@@ -52,6 +53,7 @@ class RotationPlan:
                 # mcv[c] = mcv_r[h c] -> perm_out[c] = h * c
                 pout.append(gf.mul_table[int(h)])
             bounds.append((start, end))
+            gcoefs.append(int(h))
             start = end
         return RotationPlan(
             sort_idx=order.astype(np.int32),
@@ -59,6 +61,7 @@ class RotationPlan:
             bounds=tuple(bounds),
             perm_in=tuple(p.astype(np.int32) for p in pin),
             perm_out=tuple(p.astype(np.int32) for p in pout),
+            group_coefs=tuple(gcoefs),
         )
 
     def apply(self, x, direction: str):
@@ -171,6 +174,12 @@ class DeviceGraph:
     @functools.cached_property
     def rotplan(self) -> "RotationPlan":
         return RotationPlan.build(self.code.edge_coef, self.code.gf)
+
+    @functools.cached_property
+    def rows_rotplan(self) -> "RotationPlan":
+        """Rotation plan in [M, dc] row-major layout (padding slots h=0),
+        for CN kernels that operate on row-gathered messages."""
+        return RotationPlan.build(self.code.row_coefs, self.code.gf)
 
     @property
     def q(self) -> int:

@@ -13,6 +13,7 @@ in front.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -24,9 +25,13 @@ from ..ops.minconv import (INF, fb_checknode_dense, fb_checknode_topk,
                            ems_output_saturate, scatter_topk_dense,
                            topk_message)
 from ..ops.syndrome_cn import syndrome_checknode
-from ..ops.fht import fb_checknode_spa
+from ..ops.fht import fb_checknode_spa, fb_checknode_spa_fused
 from .flooding import syndrome_ok, use_topk
 from .graph import DeviceGraph
+
+# fold GF rotations into the SPA Hadamard matmuls (measured faster; set
+# NBLDPC_SPA_FUSED=0 to fall back to rotate -> WHT -> un-rotate)
+SPA_FUSED = os.environ.get("NBLDPC_SPA_FUSED", "1") != "0"
 
 
 def _layer_plan(g: DeviceGraph):
@@ -103,6 +108,18 @@ def decode_layered(
             else:
                 mvc_cn = mvc
             f_dim = mvc_cn.shape[0]
+            if cn == "spa" and SPA_FUSED:
+                # rotations folded into the Hadamard matmuls; padding
+                # lanes (h=0) transform to the neutral w=1 automatically
+                mcv = fb_checknode_spa_fused(mvc_cn, rotplan, g.code.gf)
+                mcv = mcv - jnp.min(mcv, axis=-1, keepdims=True)
+                mcv = jnp.where(active[:, None, None, None], mcv, ctov_rows)
+                new_app = jnp.where(
+                    active[:, None, None, None], mvc + mcv, app_rows
+                )
+                ctov = ctov.at[:, edge_ids].set(mcv.astype(ctov.dtype))
+                app = app.at[:, cols].set(new_app.astype(app.dtype))
+                continue
             vr = rotplan.apply(
                 mvc_cn.reshape(f_dim, gdim * dcdim, -1), "in"
             ).reshape(mvc_cn.shape)
@@ -131,8 +148,8 @@ def decode_layered(
             new_app = jnp.where(
                 active[:, None, None, None], mvc + mcv, app_rows
             )
-            ctov = ctov.at[:, edge_ids].set(mcv)
-            app = app.at[:, cols].set(new_app)
+            ctov = ctov.at[:, edge_ids].set(mcv.astype(ctov.dtype))
+            app = app.at[:, cols].set(new_app.astype(app.dtype))
         return app, ctov
 
     d0 = jnp.argmin(app0[:, :n], axis=-1).astype(jnp.int32)
@@ -198,6 +215,18 @@ def make_layered_stepper(
             mvc = mvc - jnp.min(mvc, axis=-1, keepdims=True)
             mvc_cn = ems_input_truncate(mvc, nm) if truncate else mvc
             f_dim = mvc_cn.shape[0]
+            if cn == "spa" and SPA_FUSED:
+                # rotations folded into the Hadamard matmuls; padding
+                # lanes (h=0) transform to the neutral w=1 automatically
+                mcv = fb_checknode_spa_fused(mvc_cn, rotplan, g.code.gf)
+                mcv = mcv - jnp.min(mcv, axis=-1, keepdims=True)
+                mcv = jnp.where(active[:, None, None, None], mcv, ctov_rows)
+                new_app = jnp.where(
+                    active[:, None, None, None], mvc + mcv, app_rows
+                )
+                ctov = ctov.at[:, edge_ids].set(mcv.astype(ctov.dtype))
+                app = app.at[:, cols].set(new_app.astype(app.dtype))
+                continue
             vr = rotplan.apply(
                 mvc_cn.reshape(f_dim, gdim * dcdim, -1), "in"
             ).reshape(mvc_cn.shape)
@@ -225,8 +254,8 @@ def make_layered_stepper(
             new_app = jnp.where(
                 active[:, None, None, None], mvc + mcv, app_rows
             )
-            ctov = ctov.at[:, edge_ids].set(mcv)
-            app = app.at[:, cols].set(new_app)
+            ctov = ctov.at[:, edge_ids].set(mcv.astype(ctov.dtype))
+            app = app.at[:, cols].set(new_app.astype(app.dtype))
         return app, ctov
 
     @jax.jit

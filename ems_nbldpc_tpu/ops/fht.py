@@ -81,6 +81,107 @@ def probs_to_costs(p: jax.Array) -> jax.Array:
     return c - jnp.min(c, axis=-1, keepdims=True)
 
 
+def _fb_products(w: jax.Array) -> jax.Array:
+    """Extrinsic forward/backward products along the dc axis (transform
+    domain): out[..., i, :] = prod_{j != i} w[..., j, :]."""
+    dc = w.shape[-2]
+    if dc == 1:
+        return jnp.ones_like(w)
+    if dc == 2:
+        return w[..., ::-1, :]
+    fwd = [w[..., 0, :]]
+    bwd = [w[..., dc - 1, :]]
+    for i in range(1, dc - 1):
+        fwd.append(fwd[-1] * w[..., i, :])
+        bwd.append(bwd[-1] * w[..., dc - 1 - i, :])
+    bwd = bwd[::-1]
+    outs = [bwd[0]]
+    for i in range(1, dc - 1):
+        outs.append(fwd[i - 1] * bwd[i])
+    outs.append(fwd[-1])
+    return jnp.stack(outs, axis=-2)
+
+
+def mul_transpose_perm(gf, h: int) -> np.ndarray:
+    """Index map t with t[u] = M_h^T u, where M_h is the GF(2)-bit-matrix
+    of multiplication by h (column b = bits of h * 2^b).
+
+    Used to fold GF rotations into the Hadamard transform:
+    WHT(x rotated by h)[u] = WHT(x)[t[u]]  (rotation is linear over
+    GF(2)^m, and the WHT character pairing transposes it)."""
+    q = gf.q
+    if h == 0:
+        return np.zeros(q, np.int64)
+    u = np.arange(q)
+    t = np.zeros(q, np.int64)
+    for b in range(gf.m):
+        col = int(gf.mul(h, 1 << b))
+        par = u & col                       # parity of popcount(u & col)
+        for s in (4, 2, 1):                 # folds up to 8-bit values
+            par = par ^ (par >> s)
+        t |= (par & 1).astype(np.int64) << b
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def fused_hadamard(q: int, prim: int, h: int) -> np.ndarray:
+    """[q, q] rotation-folded Hadamard matrix H_h[u, v] = H[t_h[u], v].
+
+    Contracting x against H_h's second index (out[u] = sum_v x[v] H_h[u,v])
+    computes (rotate by h, then WHT); contracting against the first index
+    (out[c] = sum_u x[u] H_h[u,c]) computes (WHT, then un-rotate by h) —
+    the same matrix serves both directions, transposed.  For h == 0
+    (padding lanes) every row is H[0] = all-ones, so padded inputs
+    transform IN to the exact neutral element w == 1 with no masking."""
+    from .. import gf as gfmod
+
+    g = gfmod.get_gf(q)
+    assert g.prim == prim
+    t = mul_transpose_perm(g, h)
+    return hadamard(q)[t]
+
+
+def grouped_wht(x: jax.Array, rotplan, gf, direction: str) -> jax.Array:
+    """Rotation-folded WHT over coefficient groups.
+
+    x: [F, P, q] (positions flattened); rotplan: decoder.graph.RotationPlan
+    whose group_coefs give each group's GF coefficient.  direction 'in':
+    WHT of the h-rotated message; 'out': h-un-rotated inverse WHT (caller
+    divides by q).  One matmul per coefficient group either way.
+    """
+    spec = "fpv,uv->fpu" if direction == "in" else "fpu,uv->fpv"
+    xs = x[:, rotplan.sort_idx]
+    parts = []
+    for i, (s, e) in enumerate(rotplan.bounds):
+        hh = jnp.asarray(fused_hadamard(gf.q, gf.prim, rotplan.group_coefs[i]))
+        parts.append(
+            jnp.einsum(spec, xs[:, s:e], hh,
+                       precision=_WHT_PRECISION,
+                       preferred_element_type=jnp.float32)
+        )
+    xs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return xs[:, rotplan.unsort_idx]
+
+
+def fb_checknode_spa_fused(mvc: jax.Array, rotplan, gf) -> jax.Array:
+    """SPA check node with GF rotations folded into the WHT matmuls.
+
+    mvc: [F, G, dc, q] UN-rotated min-cost VtoC messages; returns
+    [F, G, dc, q] UN-rotated min-cost extrinsic CtoV messages.  Equivalent
+    to rotate -> fb_checknode_spa -> un-rotate, minus both rotation passes
+    (and minus the padding mask: h = 0 rows transform to the neutral w = 1).
+    """
+    f, gdim, dcdim, q = mvc.shape
+    p = costs_to_probs(mvc)
+    w = grouped_wht(p.reshape(f, gdim * dcdim, q), rotplan, gf, "in")
+    out_w = _fb_products(w.reshape(f, gdim, dcdim, q))
+    out_p = grouped_wht(
+        out_w.reshape(f, gdim * dcdim, q), rotplan, gf, "out"
+    ) / q
+    out_p = jnp.maximum(out_p, 1e-30)
+    return probs_to_costs(out_p).reshape(f, gdim, dcdim, q)
+
+
 def fb_checknode_spa(vr_cost: jax.Array,
                      valid: jax.Array | None = None) -> jax.Array:
     """Exact SPA CN over the XOR group.

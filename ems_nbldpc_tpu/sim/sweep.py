@@ -74,7 +74,7 @@ def run_sweep(
             print(
                 f"Eb/N0={ebn0:.2f} dB  FER={r.fer:.3e} [{lo:.2e},{hi:.2e}] "
                 f"({r.frame_errors}/{r.frames})  BER={r.ber:.3e}  "
-                f"avg_it={r.avg_iters:.2f}  {r.frames_per_s:.0f} fr/s"
+                f"avg_it={r.avg_iters:.2f}  {r.frames_per_s:.1f} fr/s"
             )
         if out_dir:
             write_results(out_dir, code, r)
