@@ -80,6 +80,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+
+    # honor an exported JAX_PLATFORMS even where site configuration
+    # force-selects another backend (must land before first jax use)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     args = build_parser().parse_args(argv)
 
     # reference positional form

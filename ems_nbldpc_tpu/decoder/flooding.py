@@ -28,6 +28,18 @@ from .graph import DeviceGraph
 SPA_FUSED = os.environ.get("NBLDPC_SPA_FUSED", "1") != "0"
 
 
+def zeros_like_vma(ref, shape, dtype):
+    """Zeros carrying ``ref``'s device-varying (vma) annotation.
+
+    Inside ``shard_map(..., check_vma=True)`` a plain ``jnp.zeros`` is
+    *replicated*; if a while_loop carry starts replicated but becomes
+    device-varying after one iteration the carry types mismatch.  Deriving
+    the zeros from ``ref`` (any per-shard input) gives them the same vma,
+    so loop carries typecheck — and outside shard_map this folds away."""
+    seed = (ref.reshape(-1)[0] * 0).astype(dtype)
+    return jnp.zeros(shape, dtype) + seed
+
+
 def _vn_totals(g: DeviceGraph, intrinsic, ctov_pad):
     """APP totals: intrinsic + sum of incident CtoV.  [F, N, q]."""
     inc = ctov_pad[:, g.col_edges]          # [F, N, dv, q]
@@ -142,7 +154,7 @@ def decode_flooding(
     """Returns (decide [F,N] int32, iters [F] int32, converged [F] bool)."""
     f, n, q = intrinsic.shape
     e = g.n_edges
-    ctov_pad0 = jnp.zeros((f, e + 1, q), intrinsic.dtype)
+    ctov_pad0 = zeros_like_vma(intrinsic, (f, e + 1, q), intrinsic.dtype)
 
     def compute_decide(ctov_pad):
         app = _vn_totals(g, intrinsic, ctov_pad)
@@ -174,6 +186,7 @@ def decode_flooding(
         iters = iters + active.astype(jnp.int32)
         return it + 1, ctov_new, decide, conv_new, iters
 
-    state = (jnp.int32(0), ctov_pad0, d0, conv0, jnp.zeros(f, jnp.int32))
+    state = (jnp.int32(0), ctov_pad0, d0, conv0,
+             zeros_like_vma(intrinsic, (f,), jnp.int32))
     _, _, decide, conv, iters = jax.lax.while_loop(cond, body, state)
     return decide, iters, conv

@@ -26,7 +26,7 @@ from ..ops.minconv import (INF, fb_checknode_dense, fb_checknode_topk,
                            topk_message)
 from ..ops.syndrome_cn import syndrome_checknode
 from ..ops.fht import fb_checknode_spa, fb_checknode_spa_fused
-from .flooding import syndrome_ok, use_topk
+from .flooding import syndrome_ok, use_topk, zeros_like_vma
 from .graph import DeviceGraph
 
 # fold GF rotations into the SPA Hadamard matmuls (measured faster; set
@@ -89,7 +89,7 @@ def decode_layered(
 
     # pad APP and CtoV with one dummy column/edge for the scatter targets
     app0 = jnp.pad(intrinsic, ((0, 0), (0, 1), (0, 0)))
-    ctov0 = jnp.zeros((f, e + 1, q), intrinsic.dtype)
+    ctov0 = zeros_like_vma(intrinsic, (f, e + 1, q), intrinsic.dtype)
 
     def one_iteration(app, ctov, active):
         for p in plans:
@@ -169,7 +169,8 @@ def decode_layered(
         iters = iters + active.astype(jnp.int32)
         return it + 1, app, ctov, decide, conv_new, iters
 
-    state = (jnp.int32(0), app0, ctov0, d0, conv0, jnp.zeros(f, jnp.int32))
+    state = (jnp.int32(0), app0, ctov0, d0, conv0,
+             zeros_like_vma(intrinsic, (f,), jnp.int32))
     _, _, _, decide, conv, iters = jax.lax.while_loop(cond, body, state)
     return decide, iters, conv
 

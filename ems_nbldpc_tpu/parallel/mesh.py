@@ -24,6 +24,15 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} {devices[0].platform} device(s) are "
+                    "visible (for a virtual CPU mesh set XLA_FLAGS="
+                    f"--xla_force_host_platform_device_count={n_devices} "
+                    "AND jax.config.update('jax_platforms','cpu') before "
+                    "first jax use)"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("frames",))
 
@@ -57,12 +66,12 @@ def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
         idx = h * jax.lax.axis_size("ici") + c
         counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
         counters = jax.lax.psum(counters, axis_name="ici")
-        return jax.lax.psum(counters, axis_name="dcn")[None, None]
+        tot = jax.lax.psum(counters, axis_name="dcn")
+        return jax.lax.pvary(tot, ("dcn", "ici"))[None, None]
 
     fn = jax.shard_map(
         device_step, mesh=mesh, in_specs=P(),
         out_specs=P("dcn", "ici"),
-        check_vma=False,
     )
     jitted = jax.jit(fn)
 
@@ -95,18 +104,18 @@ def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
         # distinct stream per mesh position
         idx = jax.lax.axis_index("frames")
         counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
-        # psum makes every device hold the global totals; return them as a
-        # per-device row (stacked output) rather than relying on the
-        # replicated-output fast path, which is fragile with check_vma off
-        return jax.lax.psum(counters, axis_name="frames")[None]
+        # psum makes every device hold the global totals; pvary lets the
+        # replicated result be returned as stacked per-device rows under
+        # full vma checking (check_vma=False was observed to intermittently
+        # DROP the psum on the virtual CPU mesh — silent wrong counters)
+        tot = jax.lax.psum(counters, axis_name="frames")
+        return jax.lax.pvary(tot, ("frames",))[None]
 
     fn = jax.shard_map(
         device_step,
         mesh=mesh,
         in_specs=P(),          # same key everywhere; fold_in differentiates
         out_specs=P("frames"),
-        check_vma=False,       # while_loop carries start replicated, become
-        #                        device-varying after the first iteration
     )
     jitted = jax.jit(fn)
 
