@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["layered", "flooding"])
     p.add_argument("--cn", default="ems",
                    choices=["ems", "minsum", "spa", "syndrome"])
+    p.add_argument("--cn-impl", default="auto",
+                   choices=["auto", "dense", "topk", "pallas"],
+                   help="elementary-combine backend (pallas: TPU only)")
     p.add_argument("--batch", type=int, default=2048, help="frames/batch")
     p.add_argument("--max-frames", type=int, default=10_000_000)
     p.add_argument("--stop-errors", type=int, default=40,
@@ -127,8 +130,8 @@ def main(argv=None) -> int:
         stop_errors=args.stop_errors, seed=args.seed, channel=spec,
         decoder=DecoderConfig(
             max_iters=args.iters, schedule=args.schedule, cn=args.cn,
-            nm=args.nm, offset=args.offset, storage=args.storage,
-            loop=args.loop, dtype=args.dtype,
+            nm=args.nm, offset=args.offset, cn_impl=args.cn_impl,
+            storage=args.storage, loop=args.loop, dtype=args.dtype,
         ),
         encode=args.encode,
     )

@@ -127,6 +127,16 @@ def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str,
         mcv_rows = syndrome_checknode(
             vals, gfs, q, offset=offset, **(syn or {})
         )
+    elif cn_impl == "pallas":
+        from ..ops.pallas_cn import fb_checknode_pallas
+
+        if valid is not None:
+            neutral = delta_message(vr_rows.shape[:-1], q, vr_rows.dtype)
+            vr_rows = jnp.where(valid[..., None], vr_rows, neutral)
+        fr, m, dc = vr_rows.shape[:3]
+        mcv_rows = fb_checknode_pallas(
+            vr_rows.reshape(fr * m, dc, q), nm
+        ).reshape(vr_rows.shape)
     elif use_topk(cn, nm, q, cn_impl):
         mcv_rows = fb_checknode_topk(vr_rows, nm, valid)
     else:

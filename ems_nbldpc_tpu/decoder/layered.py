@@ -133,6 +133,12 @@ def decode_layered(
                 mcv_r = syndrome_checknode(
                     tvals, tgfs, q, offset=offset, **(syn or {})
                 )
+            elif cn_impl == "pallas":
+                from ..ops.pallas_cn import fb_checknode_pallas
+
+                mcv_r = fb_checknode_pallas(
+                    vr.reshape(f_dim * gdim, dcdim, q), nm
+                ).reshape(vr.shape)
             elif topk_cn:
                 mcv_r = fb_checknode_topk(vr, nm)
             else:
@@ -241,6 +247,12 @@ def make_layered_stepper(
                 mcv_r = syndrome_checknode(
                     tvals, tgfs, q, offset=offset, **(syn or {})
                 )
+            elif cn_impl == "pallas":
+                from ..ops.pallas_cn import fb_checknode_pallas
+
+                mcv_r = fb_checknode_pallas(
+                    vr.reshape(f_dim * gdim, dcdim, q), nm
+                ).reshape(vr.shape)
             elif topk_cn:
                 mcv_r = fb_checknode_topk(vr, nm)
             else:
