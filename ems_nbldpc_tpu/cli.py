@@ -8,9 +8,11 @@ Two call styles:
        python -m ems_nbldpc_tpu.cli NbMonteCarlo NbIterMax FileMatrix \
            EbN NbMax Offset NbOper [flags...]
 
-   ``NbOper`` is accepted for CLI parity; the TPU kernels examine all
-   nm*q candidates (a superset of any finite bubble budget), so it does not
-   change the computation.
+   ``NbOper`` bounds the elementary-step candidate budget on the
+   truncated-list EMS path (``--storage compressed``): candidates are
+   restricted to the staircase superset of every NbOper-budgeted bubble
+   trajectory (ops/listcn.py).  The dense paths examine all nm*q
+   candidates (a superset of any finite budget) and ignore it.
 
 2. **Flag form** with TPU-native extras (schedule, batch, devices, sweep)::
 
@@ -49,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--nm", type=int, default=0, help="message truncation")
     p.add_argument("--offset", type=float, default=0.3)
+    p.add_argument("--nboper", type=int, default=0,
+                   help="elementary-step candidate budget (reference arg 7);"
+                        " 0 = exact top-nm merge; honored by the compressed"
+                        " truncated-list EMS path")
     p.add_argument("--schedule", default="layered",
                    choices=["layered", "flooding"])
     p.add_argument("--cn", default="ems",
@@ -100,13 +106,14 @@ def main(argv=None) -> int:
             print("need 7 positional args: NbMonteCarlo NbIterMax FileMatrix "
                   "EbN NbMax Offset NbOper", file=sys.stderr)
             return 2
-        nmc, nit, matrix, ebn, nm, off, _nboper = args.positional[:7]
+        nmc, nit, matrix, ebn, nm, off, nboper = args.positional[:7]
         args.max_frames = int(nmc)
         args.iters = int(nit)
         args.matrix = matrix
         args.ebn0 = ebn
         args.nm = int(nm)
         args.offset = float(off)
+        args.nboper = int(nboper)
     if not args.matrix or not args.ebn0:
         print("--matrix and --ebn0 are required", file=sys.stderr)
         return 2
@@ -130,7 +137,8 @@ def main(argv=None) -> int:
         stop_errors=args.stop_errors, seed=args.seed, channel=spec,
         decoder=DecoderConfig(
             max_iters=args.iters, schedule=args.schedule, cn=args.cn,
-            nm=args.nm, offset=args.offset, cn_impl=args.cn_impl,
+            nm=args.nm, offset=args.offset, nboper=args.nboper,
+            cn_impl=args.cn_impl,
             storage=args.storage, loop=args.loop, dtype=args.dtype,
         ),
         encode=args.encode,

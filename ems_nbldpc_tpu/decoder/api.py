@@ -22,7 +22,13 @@ class DecoderConfig:
     cn: str = "ems"             # "minsum" (dense exact) | "ems" (nm-truncated)
     nm: int = 0                 # 0 -> no truncation (pure min-sum)
     offset: float = 0.3         # saturation offset (reference arg 6)
-    cn_impl: str = "auto"       # elementary-step impl: dense | topk | auto
+    nboper: int = 0             # elementary-step candidate budget (reference
+    #                             arg 7); 0 = exact top-nm-distinct merge
+    #                             (superset of every bubble trajectory).
+    #                             Honored by the list-CN path (storage=
+    #                             "compressed"); dense paths are budget-free.
+    cn_impl: str = "auto"       # elementary-step impl: dense | topk | list
+    #                             | pallas | auto
     loop: str = "device"        # device (while_loop) | host (jit per iter)
     storage: str = "dense"      # dense | compressed (nm-truncated CtoV)
     # syndrome-CN family parameters (cn="syndrome"); mirrors the reference
@@ -70,11 +76,28 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
         return decode_flooding(g, intrinsic, **kw)
     if cfg.schedule == "layered":
         if cfg.storage == "compressed":
-            from .layered import decode_layered_compressed
+            if cfg.cn_impl == "topk":
+                # round-1 path: dense-intermediate CN, compressed storage
+                from .layered import decode_layered_compressed
 
-            return decode_layered_compressed(
+                return decode_layered_compressed(
+                    g, intrinsic, cfg.max_iters, nm=cfg.nm,
+                    offset=cfg.offset, dtype=cfg.jnp_dtype(),
+                )
+            # truncated-list EMS (ops/listcn.py) — the fast big-code path
+            if cfg.loop == "host":
+                from .layered import decode_layered_list_hostloop
+
+                return decode_layered_list_hostloop(
+                    g, intrinsic, cfg.max_iters, nm=cfg.nm,
+                    offset=cfg.offset, nboper=cfg.nboper,
+                    dtype=cfg.jnp_dtype(),
+                )
+            from .layered import decode_layered_list
+
+            return decode_layered_list(
                 g, intrinsic, cfg.max_iters, nm=cfg.nm, offset=cfg.offset,
-                dtype=cfg.jnp_dtype(),
+                nboper=cfg.nboper, dtype=cfg.jnp_dtype(),
             )
         if cfg.loop == "host":
             from .layered import decode_layered_hostloop

@@ -53,14 +53,38 @@ def make_mesh_2d(hosts: int, chips_per_host: int, devices=None) -> Mesh:
     return Mesh(devices, axis_names=("dcn", "ici"))
 
 
+def _shardable(cfg: SimConfig) -> SimConfig:
+    """Rewrite a decoder config into its jittable device-loop equivalent.
+
+    ``loop="host"`` and the legacy ``storage="compressed"``+``cn_impl=
+    "topk"`` stepper are host-control-flow conveniences for the tunneled
+    single-chip device; under ``shard_map`` the same decode runs as a
+    ``while_loop`` (``decode_layered`` / ``decode_layered_list``) with
+    identical semantics, so sharding just switches the loop style.
+    """
+    import dataclasses
+
+    d = cfg.decoder
+    repl = {}
+    if d.loop == "host":
+        repl["loop"] = "device"
+    if d.storage == "compressed" and d.cn_impl == "topk":
+        repl["cn_impl"] = "auto"   # list path: the shardable compressed CN
+    if repl:
+        cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(d, **repl))
+    return cfg
+
+
 def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
-    """Counters psum-reduced hierarchically over ('dcn', 'ici')."""
-    step, enc = make_batch_step(code, cfg)
+    """Counters psum-reduced hierarchically over ('dcn', 'ici').
+
+    Returned step signature: ``(key, ebn0_db) -> counters [5]`` — Eb/N0 is
+    a traced argument, so one compile serves a whole SNR sweep.
+    """
+    step, enc = make_batch_step(code, _shardable(cfg))
     pmat = jax.device_put(step.pmat)
 
-    ebn0 = jnp.float32(cfg.ebn0_db)
-
-    def device_step(key):
+    def device_step(key, ebn0):
         h = jax.lax.axis_index("dcn")
         c = jax.lax.axis_index("ici")
         idx = h * jax.lax.axis_size("ici") + c
@@ -70,37 +94,32 @@ def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
         return jax.lax.pvary(tot, ("dcn", "ici"))[None, None]
 
     fn = jax.shard_map(
-        device_step, mesh=mesh, in_specs=P(),
+        device_step, mesh=mesh, in_specs=(P(), P()),
         out_specs=P("dcn", "ici"),
     )
     jitted = jax.jit(fn)
 
-    def run_step(key):
-        return jitted(key)[0, 0]
+    def run_step(key, ebn0=None):
+        e = jnp.float32(cfg.ebn0_db if ebn0 is None else ebn0)
+        return jitted(key, e)[0, 0]
 
     run_step.encoder = enc
     return run_step
 
 
 def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
-    """Build a jitted step: key -> global counters [5] (psum-reduced).
+    """Build a jitted step: (key, ebn0_db) -> global counters [5].
 
     ``cfg.frames_per_batch`` is the *per-device* batch; each device draws an
-    independent PRNG stream by folding in its mesh position.
+    independent PRNG stream by folding in its mesh position.  Eb/N0 is a
+    traced argument (one compile per code/config across a whole sweep,
+    matching the single-device path, sim.mc.MonteCarlo).
     """
-    if cfg.decoder.loop == "host" or cfg.decoder.storage == "compressed":
-        raise ValueError(
-            "mesh sharding wraps the whole batch step in shard_map/jit; "
-            "host-loop/compressed decoders cannot run inside it. Shard "
-            "big-code work by running one process per device instead."
-        )
-    step, enc = make_batch_step(code, cfg)
+    step, enc = make_batch_step(code, _shardable(cfg))
     n_dev = mesh.devices.size
     pmat = jax.device_put(step.pmat)
 
-    ebn0 = jnp.float32(cfg.ebn0_db)
-
-    def device_step(key):
+    def device_step(key, ebn0):
         # distinct stream per mesh position
         idx = jax.lax.axis_index("frames")
         counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
@@ -114,13 +133,14 @@ def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
     fn = jax.shard_map(
         device_step,
         mesh=mesh,
-        in_specs=P(),          # same key everywhere; fold_in differentiates
+        in_specs=(P(), P()),   # same key everywhere; fold_in differentiates
         out_specs=P("frames"),
     )
     jitted = jax.jit(fn)
 
-    def run_step(key):
-        return jitted(key)[0]
+    def run_step(key, ebn0=None):
+        e = jnp.float32(cfg.ebn0_db if ebn0 is None else ebn0)
+        return jitted(key, e)[0]
 
     run_step.n_devices = n_dev
     run_step.encoder = enc
@@ -128,19 +148,25 @@ def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
 
 
 def run_sharded(code: NBCode, cfg: SimConfig, mesh: Mesh,
-                verbose: bool = False):
-    """Monte-Carlo loop over the mesh; mirrors sim.mc.MonteCarlo.run."""
+                verbose: bool = False, step=None):
+    """Monte-Carlo loop over the mesh; mirrors sim.mc.MonteCarlo.run.
+
+    Pass a prebuilt ``step`` (from :func:`sharded_batch_step`) to reuse one
+    compile across the SNR points of a sweep — Eb/N0 is traced.
+    """
     import time
 
     from ..sim.mc import SimResult
 
-    step = sharded_batch_step(code, cfg, mesh)
+    if step is None:
+        step = sharded_batch_step(code, cfg, mesh)
     totals = np.zeros(5, dtype=np.int64)
     key = jax.random.PRNGKey(cfg.seed)
+    ebn0 = jnp.float32(cfg.ebn0_db)
     t0 = time.perf_counter()
     b = 0
     while totals[0] < cfg.max_frames and totals[1] < cfg.stop_errors:
-        counters = step(jax.random.fold_in(key, b))
+        counters = step(jax.random.fold_in(key, b), ebn0)
         totals += np.asarray(counters, dtype=np.int64)
         b += 1
         if verbose:
