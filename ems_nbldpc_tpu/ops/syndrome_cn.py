@@ -30,8 +30,11 @@ Architecture, batched over [frames, rows]:
    box-plus correction); saturate beyond the (n_cv+3t)-th best config LLR
    (``:195-209``).
 
-Everything is static-shape: the config table is a trace-time constant, the
-bucket-min is a one-hot masked min over [*, C, q] — no sorting on device.
+Everything is static-shape: the config table is a trace-time constant; the
+per-edge bucket-min runs as packed single-key int32 sorts over the C
+configs (GF-major for dedup/bayes, value-major for selection) followed by
+a [*, k+1, q] one-hot expansion — the [*, C, q] one-hot of the round-1
+version OOMed at GF(256)/C=1000.
 """
 from __future__ import annotations
 
@@ -114,6 +117,63 @@ def gen_config_2dev(dc: int, d1: int) -> np.ndarray:
     return np.stack(rows)
 
 
+def gen_config_bordered(dc: int, d1: int, d2: int, d3: int = 0,
+                        border: int = 6) -> np.ndarray:
+    """Irregular *bordered* table (gen_config_table4 :1838-2109).
+
+    Assumes edges are presorted by reliability; budgets taper across three
+    tiers: the first ``border`` (least reliable) edges get d1 single
+    deviations and trapeze-d2 pairs/triples/quads among themselves, the
+    middle tier (up to ``border0 = dc-3``) gets d2 singles plus depth-1
+    pair patterns, the last 3 edges depth-1 singles only.  Live code only
+    (the reference function carries large commented-out blocks).
+    """
+    del d3  # unused by the live reference code path
+    border = min(border, dc)
+    border0 = max(dc - 3, border)
+    rows = [np.zeros(dc, np.int32)]
+    # singles, three tiers (:1849-1868)
+    for i in range(border):
+        for j in range(1, d1 + 1):
+            r = np.zeros(dc, np.int32); r[i] = j; rows.append(r)
+    for i in range(border, border0):
+        for j in range(1, d2 + 1):
+            r = np.zeros(dc, np.int32); r[i] = j; rows.append(r)
+    for i in range(border0, dc):
+        r = np.zeros(dc, np.int32); r[i] = 1; rows.append(r)
+    # trapeze pairs within the border (:1875-1893)
+    for i, j in itertools.combinations(range(border), 2):
+        for a in range(d2):
+            for b in range(d2):
+                if a + b < d2:
+                    r = np.zeros(dc, np.int32)
+                    r[i], r[j] = a + 1, b + 1
+                    rows.append(r)
+    # depth-1 pairs: middle-tier edge x border edge (:1895-1903)
+    for i in range(border0 - 1, border - 1, -1):
+        for j in range(border - 1, -1, -1):
+            r = np.zeros(dc, np.int32); r[i] = 1; r[j] = 1; rows.append(r)
+    # edge0 at depth 2 with a middle-tier edge (:1905-1910)
+    for i in range(border, border0):
+        r = np.zeros(dc, np.int32); r[0] = 2; r[i] = 1; rows.append(r)
+    # depth-1 triples within the border; variant with edge0 at depth 2
+    # (:1940-1965 of the live tail)
+    for i, j, k in itertools.combinations(range(border), 3):
+        r = np.zeros(dc, np.int32); r[i] = r[j] = r[k] = 1; rows.append(r)
+    for j, k in itertools.combinations(range(1, border), 2):
+        r = np.zeros(dc, np.int32); r[0] = 2; r[j] = r[k] = 1; rows.append(r)
+    # depth-1 quads within the border; variant with edge0 at depth 2
+    for ll, i, j, k in itertools.combinations(range(border), 4):
+        r = np.zeros(dc, np.int32)
+        r[ll] = r[i] = r[j] = r[k] = 1
+        rows.append(r)
+    for i, j, k in itertools.combinations(range(1, border), 3):
+        r = np.zeros(dc, np.int32)
+        r[0] = 2; r[i] = r[j] = r[k] = 1
+        rows.append(r)
+    return np.stack(rows)
+
+
 @functools.lru_cache(maxsize=None)
 def build_config_table(dc: int, d1: int = 40, d2: int = 15, d3: int = 5,
                        shape: str = "trapeze",
@@ -126,6 +186,8 @@ def build_config_table(dc: int, d1: int = 40, d2: int = 15, d3: int = 5,
         t = gen_config_trapeze(dc, d1, d2, d3)
     elif shape == "2dev":
         t = gen_config_2dev(dc, d1)
+    elif shape == "bordered":
+        t = gen_config_bordered(dc, d1, d2, d3)
     else:
         raise ValueError(shape)
     ndev = (t > 0).sum(axis=1)
@@ -197,29 +259,70 @@ def syndrome_checknode(
         gf_c = gf_c ^ gfs[..., j, idx]
 
     iota_q = jnp.arange(q, dtype=jnp.int32)
+    imax = jnp.int32(0x7FFFFFFF)
     outs = []
     for t in range(dc):
         mask = cfg[:, t] == 0                        # static [C]
+        n_masked = int(mask.sum())
         gf_ext = gf_c ^ gfs[..., t, 0:1]             # [..., C]
         llr_m = jnp.where(jnp.asarray(mask), llr_c, INF)
         # saturation threshold: k-th best decorrelated config LLR
         # (syndrome_ems :195-209) or the median of the decorrelated set
         # (syndrome_ems_median :506-649, via the median_median helpers)
         if sat_rule == "median":
-            k = int(mask.sum()) // 2
+            k = n_masked // 2
         else:
-            k = int(min(n_cv - 1 + 3 * t, mask.sum() - 1))
-        sat = -jax.lax.top_k(-llr_m, k + 1)[0][..., -1:]
-        # one-hot bucket min (+ optional second-min for bayes)
-        onehot = gf_ext[..., :, None] == iota_q      # [..., C, q]
-        contrib = jnp.where(onehot, llr_m[..., :, None], INF)
-        m1 = jnp.min(contrib, axis=-2)               # [..., q]
+            k = int(min(n_cv - 1 + 3 * t, n_masked - 1))
+        # ---- sort-based bucket min (replaces the [.., C, q] one-hot,
+        # which OOMs at GF(256)/C=1000).  Values quantize to bf16; the bit
+        # pattern of a non-negative bf16 is order-isomorphic, so (GF,
+        # value) packs into one int32 sort key (same trick as
+        # ops/listcn.list_combine).
+        vbits = jax.lax.bitcast_convert_type(
+            jnp.minimum(llr_m, INF).astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.int32)
+        k1 = jnp.where(jnp.asarray(mask), (gf_ext << 16) | vbits, imax)
+        k1 = jax.lax.sort(k1)
+        sat_bits = jax.lax.sort(jnp.where(jnp.asarray(mask), vbits, imax))
+        sat = jax.lax.bitcast_convert_type(
+            (sat_bits[..., k : k + 1] & 0xFFFF).astype(jnp.uint16),
+            jnp.bfloat16,
+        ).astype(llr_c.dtype)
+        gfp = k1 >> 16                               # [..., C]; imax -> 32767
+        v1 = jax.lax.bitcast_convert_type(
+            (k1 & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(llr_c.dtype)
+        ones = jnp.ones(gfp.shape[:-1] + (1,), bool)
+        firsts = jnp.concatenate(
+            [ones, gfp[..., 1:] != gfp[..., :-1]], axis=-1
+        )
         if use_bayes:
-            c2 = jnp.where(contrib <= m1[..., None, :], INF, contrib)
-            m2 = jnp.min(c2, axis=-2)
-            out = bayes_combine(m1, m2)
+            nxt_same = jnp.concatenate(
+                [gfp[..., :-1] == gfp[..., 1:], ~ones], axis=-1
+            )
+            v2 = jnp.where(
+                nxt_same,
+                jnp.concatenate([v1[..., 1:], v1[..., :1]], axis=-1),
+                INF,
+            )
+            comb = bayes_combine(v1, v2)
         else:
-            out = m1
+            comb = v1
+        # keep the best min(k+1, q) distinct-GF entries: anything beyond
+        # the k-th best raw config saturates, so nothing below sat is lost
+        keep = min(cfg.shape[0], k + 1, q)
+        cbits = jax.lax.bitcast_convert_type(
+            jnp.minimum(comb, INF).astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.int32)
+        k2 = jnp.where(firsts & (gfp < q), (cbits << 8) | gfp, imax)
+        k2 = jax.lax.sort(k2)[..., :keep]
+        live = k2 != imax
+        kg = jnp.where(live, k2 & 0xFF, q)           # dead -> out-of-range
+        kv = jax.lax.bitcast_convert_type(
+            ((k2 >> 8) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(llr_c.dtype)
+        onehot = kg[..., :, None] == iota_q          # [..., keep, q]
+        out = jnp.min(jnp.where(onehot, kv[..., :, None], INF), axis=-2)
         out = jnp.where(out > sat, sat + offset, out)
         outs.append(out)
     mcv = jnp.stack(outs, axis=-2)                   # [..., dc, q]

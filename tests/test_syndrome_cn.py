@@ -88,3 +88,45 @@ def test_syndrome_decoder_corrects(presort):
     d, it, conv = decode(code, jnp.asarray(intr), cfg)
     assert np.asarray(conv).all()
     assert np.array_equal(np.asarray(d), cw)
+
+
+def test_bordered_table():
+    from ems_nbldpc_tpu.ops.syndrome_cn import gen_config_bordered
+
+    t = gen_config_bordered(12, 6, 3)
+    # zero config present, all three single-deviation tiers populated
+    assert (t[0] == 0).all()
+    singles = t[(t > 0).sum(1) == 1]
+    # border edges reach depth d1, middle tier depth d2, tail depth 1
+    assert singles[:, :6].max() == 6
+    assert singles[:, 6:9].max() == 3
+    assert singles[:, 9:].max() == 1
+    # no duplicate configs
+    assert len(np.unique(t, axis=0)) == t.shape[0]
+    # buildable through the public entry point with cost sort + cap
+    b = build_config_table(12, 6, 3, 2, shape="bordered", max_configs=400)
+    assert b.shape[1] == 12 and (b[0] == 0).all()
+
+
+def test_syndrome_cn_gf256_scales():
+    """Round-1 VERDICT weak 3: the bucket-min must not materialize
+    [.., C, q] at GF(256)/C=1000. Runs the full CN at that size."""
+    rng = np.random.default_rng(3)
+    q, dc, nm = 256, 4, 32
+    dense = rng.random((2, 8, dc, q)).astype(np.float32) * 10
+    dense -= dense.min(-1, keepdims=True)
+    vals, gfs = topk_message(jnp.asarray(dense), nm)
+    out = syndrome_checknode(vals, gfs, q, n_cv=45, offset=0.3,
+                             d1=31, d2=15, d3=5, max_configs=1000)
+    out = np.asarray(out)
+    assert out.shape == (2, 8, dc, q)
+    assert np.isfinite(out).all()
+    # zero-deviation config must dominate: argmin at XOR of others' best
+    best = np.asarray(gfs[..., 0])
+    for t in range(dc):
+        expect = np.zeros((2, 8), np.int64)
+        for j in range(dc):
+            if j != t:
+                expect ^= best[..., j]
+        match = (out[..., t, :].argmin(-1) == expect).mean()
+        assert match > 0.9, match
