@@ -18,10 +18,22 @@ BUILD = "/tmp/nbldpc_ref_build"
 CACHE = "/tmp/nbldpc_c_baseline.json"
 
 
-def ensure_built(fmt: str = "kn") -> str | None:
-    """Compile the reference once per matrix-format variant (the format is
-    a compile-time #define, init.c:25); return the binary path."""
-    exe = os.path.join(BUILD, f"essai_{fmt}")
+def ensure_built(fmt: str = "kn", channel: str = "bpsk") -> str | None:
+    """Compile the reference once per (matrix-format, channel) variant.
+
+    Both are compile-time switches in the reference: the matrix format is
+    ``#define KN_matrix`` (init.c:25); the channel is the chosen call in
+    main (NB_LDPC.c:261-264) plus the modulation/fading ``#define``s at
+    channel.c:20-26 (shipped defaults: QAM_R + rayleigh_fading_SSD +
+    erasure).  Channel variants:
+
+    - "bpsk": ModelChannel_AWGN_BPSK (the shipped call)
+    - "qamr_ssd_erasure": ModelChannel with the shipped defines
+    - "apsk64": ModelChannel_AWGN_64 (64-APSK, no fading with the shipped
+      defines)
+    """
+    tag = f"{fmt}_{channel}" if channel != "bpsk" else fmt
+    exe = os.path.join(BUILD, f"essai_{tag}")
     if os.path.exists(exe):
         return exe
     if not os.path.isdir(REF):
@@ -41,12 +53,29 @@ def ensure_built(fmt: str = "kn") -> str | None:
         else:
             src = src.replace(b"//#define KN_matrix", b"#define KN_matrix")
         open(initc, "wb").write(src)
+        mainc = os.path.join(BUILD, "NB_LDPC.c")
+        src = open(mainc, "rb").read()
+        if channel == "qamr_ssd_erasure":
+            src = src.replace(
+                b"ModelChannel_AWGN_BPSK (&code, &decoder, &table,  "
+                b"NBIN, EbN,&Idum);",
+                b"ModelChannel(&code, &decoder,  NBIN, EbN,&Idum);",
+            )
+        elif channel == "apsk64":
+            src = src.replace(
+                b"ModelChannel_AWGN_BPSK (&code, &decoder, &table,  "
+                b"NBIN, EbN,&Idum);",
+                b"ModelChannel_AWGN_64 (&code, &decoder, NBIN, EbN,&Idum);",
+            )
+        elif channel != "bpsk":
+            raise ValueError(channel)
+        open(mainc, "wb").write(src)
         subprocess.run(["make", "-B"], cwd=BUILD, capture_output=True)
         objs = [f"obj/{o}.o" for o in
                 ["init", "tools", "channel", "bubble_decoder",
                  "syndrome_decoder", "NB_LDPC"]]
         subprocess.run(
-            ["gcc", "-O3", "-o", f"essai_{fmt}", *objs, "-lm"],
+            ["gcc", "-O3", "-o", f"essai_{tag}", *objs, "-lm"],
             cwd=BUILD, check=True, capture_output=True,
         )
         return exe
@@ -56,9 +85,16 @@ def ensure_built(fmt: str = "kn") -> str | None:
 
 def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
             nm: int = 30, offset: float = 0.3, nboper: int = 45,
-            fmt: str = "kn", timeout: int = 1200) -> dict | None:
-    """Time the C binary; returns dict with frames/s and FER, or None."""
+            fmt: str = "kn", timeout: int = 1200,
+            channel: str = "bpsk") -> dict | None:
+    """Time the C binary; returns dict with frames/s and FER, or None.
+
+    NOTE: building two *different* (fmt, channel) variants concurrently
+    races on the shared obj/ directory — build sequentially.
+    """
     key = f"{matrix}:{ebn0}:{frames}:{iters}:{nm}:{offset}:{nboper}"
+    if channel != "bpsk":
+        key += f":{channel}"
     cache = {}
     if os.path.exists(CACHE):
         try:
@@ -67,7 +103,7 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
             cache = {}
     if key in cache:
         return cache[key]
-    exe = ensure_built(fmt)
+    exe = ensure_built(fmt, channel)
     if exe is None:
         return None
     t0 = time.perf_counter()

@@ -44,6 +44,11 @@ class ChannelSpec:
     rayleigh: bool = False         # Rayleigh fading per 2-D symbol
     ssd: bool = False              # per-component fading (SSD)
     erasure_prob: float = 0.0      # component erasures (channel.c:592-594)
+    labeling: str = "ref"          # "ref": the reference's symbol->point
+    #                                labeling (channel.h tables / DVB-S2X
+    #                                APSK; FER-comparable with the C binary
+    #                                under fading) | "gray": the round-1
+    #                                synthetic Gray labeling
 
 
 def sigma_for(spec: ChannelSpec, ebn0_db, rate: float):
@@ -100,36 +105,94 @@ def _gray(n: int) -> np.ndarray:
     return a ^ (a >> 1)
 
 
-@functools.lru_cache(maxsize=None)
-def constellation(kind: str, q: int, rotated: bool = False) -> np.ndarray:
-    """[q, 2] unit-average-power constellation points, Gray-mapped.
+def _ref_qam_pam(labels: np.ndarray, mag_bits: int) -> np.ndarray:
+    """One PAM coordinate of the reference's square-QAM labeling.
 
-    Generated programmatically (square QAM grids, DVB-S2X 64-APSK rings)
-    rather than shipping coordinate tables; the reference's inline tables
-    (``include/channel.h:55-1471``, ``channel.c:132-221``) describe the same
-    standard constellations up to bit-labeling.
+    The channel.h tables (``table_16/64/256QAM``, :66-424) follow a
+    sign-refinement rule (verified bit-exact against all three, see
+    tests/test_channels.py): bit 0 of ``labels`` is the sign; the magnitude
+    nests outward from the HIGHEST magnitude bit,
+    ``mag = 2^k + (1-2 b_1)(2^(k-1) + (1-2 b_2)(... (2 + (1-2 b_k))))``
+    with b_1 the lowest magnitude bit — yielding the magnitude sequences
+    [3,1], [7,1,5,3], [15,1,9,7,13,3,11,5].
+    """
+    v = np.ones_like(labels, dtype=np.float64)
+    for j in range(mag_bits, 0, -1):          # innermost = highest bit
+        b = (labels >> j) & 1
+        v = (1 << (mag_bits - j + 1)) + (1 - 2 * b) * v
+    sign = 1 - 2 * (labels & 1)
+    return sign * v
+
+
+# DVB-S2X 8+16+20+20 64-APSK labeling (reference ``table_64APSK``,
+# channel.c:130-198 — "from DVB S2X code identifier 135/180"): per binary
+# label, a ring code into radii (1.0, 2.2, 3.6, 5.2) and an angle in units
+# of pi/80.  Encoded compactly rather than as 128 floats.
+_APSK64_RING = np.array([
+    1, 1, 1, 1, 3, 3, 3, 3, 1, 1, 1, 1, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2,
+    0, 0, 0, 0, 3, 3, 3, 3, 1, 1, 1, 1, 2, 2, 2, 2,
+    0, 0, 0, 0, 3, 3, 3, 3, 1, 1, 1, 1, 2, 2, 2, 2])
+_APSK64_ANG80 = np.array([
+    125, 115, 35, 45, 140, 100, 20, 60, 135, 105, 25, 55,
+    140, 100, 20, 60, 124, 116, 36, 44, 132, 108, 28, 52,
+    124, 116, 36, 44, 132, 108, 28, 52, 130, 110, 30, 50,
+    148, 92, 12, 68, 145, 95, 15, 65, 148, 92, 12, 68,
+    150, 90, 10, 70, 156, 84, 4, 76, 155, 85, 5, 75,
+    156, 84, 4, 76])
+
+
+@functools.lru_cache(maxsize=None)
+def constellation(kind: str, q: int, rotated: bool = False,
+                  labeling: str = "ref") -> np.ndarray:
+    """[q, 2] unit-average-power constellation points.
+
+    ``labeling="ref"`` reproduces the reference's symbol->point maps: the
+    transmitted constellation index is the symbol's binary image
+    (``channel.c:630-636``; the ``pos_gf*_to_bin`` tables, channel.h:48-50,
+    are the power->polynomial conversion, which is the identity in this
+    framework's polynomial representation), and the point coordinates
+    follow channel.h's tables — generated from their structural rules
+    rather than shipped as data.  ``labeling="gray"`` keeps the round-1
+    synthetic Gray maps.
     """
     if kind == "qam":
         side = int(round(np.sqrt(q)))
         assert side * side == q, "QAM needs square q"
-        pam = 2 * np.arange(side) - (side - 1)
-        # Gray map: low bits -> I index, high bits -> Q index
-        gi = np.argsort(_gray(side))
-        pts = np.zeros((q, 2))
-        for g in range(q):
-            i_idx = gi[g % side]
-            q_idx = gi[g // side]
-            pts[g] = (pam[i_idx], pam[q_idx])
+        g = np.arange(q)
+        if labeling == "ref":
+            # even bits -> I coordinate, odd bits -> Q (channel.h rule)
+            m = q.bit_length() - 1
+            xl = np.zeros(q, np.int64)
+            yl = np.zeros(q, np.int64)
+            for b in range(0, m, 2):
+                xl |= ((g >> b) & 1) << (b // 2)
+            for b in range(1, m, 2):
+                yl |= ((g >> b) & 1) << (b // 2)
+            mag_bits = m // 2 - 1
+            pts = np.stack([_ref_qam_pam(xl, mag_bits),
+                            _ref_qam_pam(yl, mag_bits)], axis=1)
+        else:
+            pam = 2 * np.arange(side) - (side - 1)
+            # Gray map: low bits -> I index, high bits -> Q index
+            gi = np.argsort(_gray(side))
+            pts = np.zeros((q, 2))
+            for s in range(q):
+                pts[s] = (pam[gi[s % side]], pam[gi[s // side]])
     elif kind == "apsk64":
-        # DVB-S2X 64-APSK 8+16+20+20 (reference channel.c:132-198): four
-        # rings with standard radius ratios (gamma for rate 132/180).
-        counts = [8, 16, 20, 20]
-        radii = [1.0, 2.2, 3.6, 5.2]
-        pts = []
-        for c, r in zip(counts, radii):
-            ang = 2 * np.pi * (np.arange(c) + 0.5) / c
-            pts.extend([(r * np.cos(a), r * np.sin(a)) for a in ang])
-        pts = np.array(pts)
+        radii = np.array([1.0, 2.2, 3.6, 5.2])
+        if labeling == "ref":
+            r = radii[_APSK64_RING]
+            ang = np.pi * _APSK64_ANG80 / 80.0
+            pts = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+        else:
+            # round-1 synthetic: rings filled in label order
+            counts = [8, 16, 20, 20]
+            pts = []
+            for c, r in zip(counts, radii):
+                ang = 2 * np.pi * (np.arange(c) + 0.5) / c
+                pts.extend([(r * np.cos(a), r * np.sin(a)) for a in ang])
+            pts = np.array(pts)
     else:
         raise ValueError(kind)
     if rotated:
@@ -151,7 +214,9 @@ def channel_2d(key, cw, q: int, sigma: float, spec: ChannelSpec,
     ``ModelChannel_AWGN_64`` (channel.c:112-312).
     """
     kind = "apsk64" if spec.kind == "apsk64" else "qam"
-    pts = jnp.asarray(constellation(kind, q, spec.rotated))       # [q, 2]
+    pts = jnp.asarray(
+        constellation(kind, q, spec.rotated, spec.labeling)
+    )                                                             # [q, 2]
     x = pts[cw]                                                   # [F, N, 2]
     knoise, kfade, kerase = jax.random.split(key, 3)
     noise = sigma * jax.random.normal(knoise, x.shape, dtype=dtype)
@@ -167,8 +232,10 @@ def channel_2d(key, cw, q: int, sigma: float, spec: ChannelSpec,
     else:
         att = jnp.ones_like(x)
     if spec.erasure_prob > 0.0:
+        # erased components carry nothing; survivors are re-normalized to
+        # keep unit average channel power (channel.c:652-669)
         er = jax.random.bernoulli(kerase, spec.erasure_prob, x.shape)
-        att = jnp.where(er, 0.0, att)
+        att = jnp.where(er, 0.0, att / np.sqrt(1.0 - spec.erasure_prob))
 
     y = att * x + noise
     # cost[g] = |y - att*x_g|^2 / (2 sigma^2); with fading the receiver knows
@@ -188,7 +255,9 @@ def qam256_4d(key, cw, sigma: float, spec: ChannelSpec, dtype=jnp.float32):
     and the intrinsic cost is the 4-D distance.  SSD fading/erasures apply
     per 2-D component as in ``channel_2d``.
     """
-    pts16 = jnp.asarray(constellation("qam", 16, spec.rotated))   # [16, 2]
+    pts16 = jnp.asarray(
+        constellation("qam", 16, spec.rotated, spec.labeling)
+    )                                                             # [16, 2]
     lo = cw & 0xF
     hi = cw >> 4
     x = jnp.concatenate([pts16[lo], pts16[hi]], axis=-1)          # [F,N,4]
@@ -203,7 +272,8 @@ def qam256_4d(key, cw, sigma: float, spec: ChannelSpec, dtype=jnp.float32):
     if spec.erasure_prob > 0.0:
         er = jax.random.bernoulli(kerase, spec.erasure_prob,
                                   x.shape[:-1] + (2,))
-        att2 = jnp.where(er, 0.0, att2)
+        att2 = jnp.where(er, 0.0,
+                         att2 / np.sqrt(1.0 - spec.erasure_prob))
     att = jnp.repeat(att2, 2, axis=-1)
     y = att * x + noise
     # candidate 4-D points for all 256 symbols

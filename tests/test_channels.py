@@ -92,3 +92,41 @@ def test_erasures_and_fading_run():
         q = 256 if spec.kind == "qam256_4d" else 64
         cost = simulate(key, cw, q, spec, 10.0, 0.5)
         assert np.isfinite(np.asarray(cost)).all()
+
+
+def test_ref_labeling_matches_reference_tables():
+    """The generated labeling='ref' constellations must equal the reference
+    channel.h tables bit-exactly (up to the shared normalization)."""
+    import os
+    import re
+
+    import pytest as _pytest
+
+    path = "/root/reference/include/channel.h"
+    if not os.path.exists(path):
+        _pytest.skip("reference not available")
+    src = open(path, encoding="latin-1").read()
+
+    from ems_nbldpc_tpu.models.channels import constellation
+
+    for name, q in (("16QAM", 16), ("64QAM", 64), ("256QAM", 256)):
+        m = re.search(r"table_%s\[%d\]\[2\]=\s*\{(.*?)\};" % (name, q),
+                      src, re.S)
+        pairs = re.findall(r"\{\s*([-\d.]+)\s*,\s*([-\d.]+)\s*\}", m.group(1))
+        ref = np.array([[float(a), float(b)] for a, b in pairs[:q]])
+        ref = ref / np.sqrt((ref ** 2).sum(1).mean())
+        ours = constellation("qam", q, rotated=False, labeling="ref")
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+
+    csrc = open("/root/reference/channel.c", encoding="latin-1").read()
+    m = re.search(r"float table_64APSK\[64\]\[2\]=\s*\{(.*?)\};", csrc, re.S)
+    ent = re.findall(
+        r"\{\s*([\d.]*)\s*\*?\s*cos\(\s*PI\s*\*\s*(\d+)\s*/\s*(\d+)\s*\)",
+        m.group(1))
+    ref = np.array([
+        [(float(r) if r else 1.0) * np.cos(np.pi * int(n) / int(d)),
+         (float(r) if r else 1.0) * np.sin(np.pi * int(n) / int(d))]
+        for r, n, d in ent])
+    ref = ref / np.sqrt((ref ** 2).sum(1).mean())
+    ours = constellation("apsk64", 64, rotated=False, labeling="ref")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
