@@ -51,6 +51,7 @@ def run_sweep(
     """Run the Monte-Carlo chain at each Eb/N0 point; returns SimResults."""
     results = []
     mc = None
+    sharded_step = None
     done = completed_points(out_dir, code, base) if resume else set()
     for ebn0 in ebn0_grid:
         if round(float(ebn0), 6) in done:
@@ -59,9 +60,13 @@ def run_sweep(
             continue
         cfg = dataclasses.replace(base, ebn0_db=float(ebn0))
         if mesh is not None:
-            from ..parallel.mesh import run_sharded
+            from ..parallel.mesh import run_sharded, sharded_batch_step
 
-            r = run_sharded(code, cfg, mesh, verbose=verbose)
+            if sharded_step is None:
+                # Eb/N0 is a traced argument: one compile serves the sweep
+                sharded_step = sharded_batch_step(code, cfg, mesh)
+            r = run_sharded(code, cfg, mesh, verbose=verbose,
+                            step=sharded_step)
         else:
             if mc is None:
                 mc = MonteCarlo(code, cfg)
