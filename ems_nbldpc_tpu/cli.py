@@ -60,8 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cn", default="ems",
                    choices=["ems", "minsum", "spa", "syndrome"])
     p.add_argument("--cn-impl", default="auto",
-                   choices=["auto", "dense", "topk", "pallas"],
-                   help="elementary-combine backend (pallas: TPU only)")
+                   choices=["auto", "dense", "topk", "pallas", "bubble",
+                            "lbubble"],
+                   help="elementary-combine backend (pallas: TPU only; "
+                        "bubble/lbubble: exact sequential reference "
+                        "emulation at the nbOper budget, for validation)")
     p.add_argument("--batch", type=int, default=2048, help="frames/batch")
     p.add_argument("--max-frames", type=int, default=10_000_000)
     p.add_argument("--stop-errors", type=int, default=40,

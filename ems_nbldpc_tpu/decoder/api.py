@@ -28,7 +28,10 @@ class DecoderConfig:
     #                             Honored by the list-CN path (storage=
     #                             "compressed"); dense paths are budget-free.
     cn_impl: str = "auto"       # elementary-step impl: dense | topk | list
-    #                             | pallas | auto
+    #                             | pallas | auto | bubble | lbubble (the
+    #                             last two: EXACT sequential 8-bubble /
+    #                             L-bubble emulation at the nboper budget —
+    #                             a validation tool, see ops/bubble_cn.py)
     loop: str = "device"        # device (while_loop) | host (jit per iter)
     storage: str = "dense"      # dense | compressed (nm-truncated CtoV)
     # syndrome-CN family parameters (cn="syndrome"); mirrors the reference
@@ -59,7 +62,7 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
     )
     intrinsic = intrinsic.astype(cfg.jnp_dtype())
     kw = dict(max_iters=cfg.max_iters, nm=cfg.nm, offset=cfg.offset,
-              cn=cfg.cn, cn_impl=cfg.cn_impl)
+              cn=cfg.cn, cn_impl=cfg.cn_impl, nboper=cfg.nboper)
     if cfg.cn == "syndrome":
         kw["syn"] = dict(
             n_cv=cfg.syn_ncv, d1=cfg.syn_d[0], d2=cfg.syn_d[1],

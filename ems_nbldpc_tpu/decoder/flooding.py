@@ -93,7 +93,8 @@ def use_topk(cn: str, nm: int, q: int, cn_impl: str) -> bool:
 
 
 def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str,
-              cn_impl: str = "auto", syn: dict | None = None):
+              cn_impl: str = "auto", syn: dict | None = None,
+              nboper: int = 0):
     """Shared CN step: rotate in, dense F/B min-conv, rotate out.
 
     vtoc: [F, E, q] min-normalized variable-to-check messages.
@@ -137,6 +138,24 @@ def checknode(g: DeviceGraph, vtoc, nm: int, offset: float, cn: str,
         mcv_rows = fb_checknode_pallas(
             vr_rows.reshape(fr * m, dc, q), nm
         ).reshape(vr_rows.shape)
+    elif cn_impl in ("bubble", "lbubble"):
+        # EXACT sequential bubble emulation (validation tool, not a
+        # throughput path — see ops/bubble_cn.py)
+        from ..ops.bubble_cn import fb_checknode_bubble
+
+        if valid is not None:
+            neutral = delta_message(vr_rows.shape[:-1], q, vr_rows.dtype)
+            vr_rows = jnp.where(valid[..., None], vr_rows, neutral)
+        budget = nboper if nboper > 0 else 2 * nm
+        mcv_rows = fb_checknode_bubble(
+            vr_rows, nm, budget, offset,
+            variant="8" if cn_impl == "bubble" else "L",
+        )
+        mcv_r = _edges_from_rows(g, mcv_rows)
+        mcv = _rotate_out(g, mcv_r)
+        # the exact fill rule is applied inside (golden.check_pass_ems
+        # semantics); ems_output_saturate would be a redundant no-op
+        return mcv - jnp.min(mcv, axis=-1, keepdims=True)
     elif use_topk(cn, nm, q, cn_impl):
         mcv_rows = fb_checknode_topk(vr_rows, nm, valid)
     else:
@@ -160,6 +179,7 @@ def decode_flooding(
     cn: str = "minsum",      # minsum (dense-exact) | ems (truncated) | syndrome
     cn_impl: str = "auto",   # "dense" | "topk" | "auto"
     syn: dict | None = None,
+    nboper: int = 0,
 ):
     """Returns (decide [F,N] int32, iters [F] int32, converged [F] bool)."""
     f, n, q = intrinsic.shape
@@ -182,7 +202,7 @@ def decode_flooding(
         tot = _vn_totals(g, intrinsic, ctov_pad)
         vtoc = tot[:, g.edge_col] - ctov_pad[:, :e]
         vtoc = vtoc - jnp.min(vtoc, axis=-1, keepdims=True)
-        mcv = checknode(g, vtoc, nm, offset, cn, cn_impl, syn)
+        mcv = checknode(g, vtoc, nm, offset, cn, cn_impl, syn, nboper)
         active = ~conv
         ctov_new = jnp.where(
             active[:, None, None],

@@ -74,6 +74,7 @@ def decode_layered(
     cn: str = "minsum",
     cn_impl: str = "auto",
     syn: dict | None = None,
+    nboper: int = 0,
 ):
     """Returns (decide [F,N], iters [F], converged [F]).
 
@@ -142,6 +143,15 @@ def decode_layered(
                 mcv_r = fb_checknode_pallas(
                     vr.reshape(f_dim * gdim, dcdim, q), nm
                 ).reshape(vr.shape)
+            elif cn_impl in ("bubble", "lbubble"):
+                # EXACT sequential bubble emulation (ops/bubble_cn.py);
+                # validation tool — applies the golden fill rule itself
+                from ..ops.bubble_cn import fb_checknode_bubble
+
+                mcv_r = fb_checknode_bubble(
+                    vr, nm, nboper if nboper > 0 else 2 * nm, offset,
+                    variant="8" if cn_impl == "bubble" else "L",
+                )
             elif topk_cn:
                 mcv_r = fb_checknode_topk(vr, nm)
             else:
@@ -211,6 +221,7 @@ def make_layered_stepper(
     cn: str = "minsum",
     cn_impl: str = "auto",
     syn: dict | None = None,
+    nboper: int = 0,
 ):
     """Host-loop variant for very large codes: one jitted XLA execution per
     decoding iteration, with buffer donation (no device copies).
@@ -220,7 +231,7 @@ def make_layered_stepper(
     (init_fn, step_fn): ``state = init_fn(intrinsic)``,
     ``state = step_fn(state)``; state = (app, ctov, decide, conv, iters).
     """
-    key = (_graph_key(g), nm, offset, cn, cn_impl,
+    key = (_graph_key(g), nm, offset, cn, cn_impl, nboper,
            tuple(sorted((syn or {}).items())))
     if key in _stepper_cache:
         return _stepper_cache[key]
@@ -273,6 +284,15 @@ def make_layered_stepper(
                 mcv_r = fb_checknode_pallas(
                     vr.reshape(f_dim * gdim, dcdim, q), nm
                 ).reshape(vr.shape)
+            elif cn_impl in ("bubble", "lbubble"):
+                # EXACT sequential bubble emulation (ops/bubble_cn.py);
+                # validation tool — applies the golden fill rule itself
+                from ..ops.bubble_cn import fb_checknode_bubble
+
+                mcv_r = fb_checknode_bubble(
+                    vr, nm, nboper if nboper > 0 else 2 * nm, offset,
+                    variant="8" if cn_impl == "bubble" else "L",
+                )
             elif topk_cn:
                 mcv_r = fb_checknode_topk(vr, nm)
             else:
@@ -316,11 +336,12 @@ def make_layered_stepper(
 
 
 def decode_layered_hostloop(g, intrinsic, max_iters, nm=0, offset=0.0,
-                            cn="minsum", cn_impl="auto", syn=None):
+                            cn="minsum", cn_impl="auto", syn=None, nboper=0):
     """decode() interface over make_layered_stepper."""
     import numpy as np
 
-    init_fn, step_fn = make_layered_stepper(g, nm, offset, cn, cn_impl, syn)
+    init_fn, step_fn = make_layered_stepper(g, nm, offset, cn, cn_impl, syn,
+                                            nboper)
     state = init_fn(intrinsic)
     for _ in range(max_iters):
         if bool(np.asarray(state[3].all())):

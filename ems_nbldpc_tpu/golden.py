@@ -85,9 +85,10 @@ def elementary_lbubble(v1, g1, v2, g2, nm: int, nb_oper: int):
     """The v2 standalone decoder's 4-candidate "L-bubble" operator
     (EMS_HS_L-BubbleCheck_UBS_decoder_v2.c:1547-1701), min-convention.
 
-    Seeds: column-0 rows 0..2 plus (row 2, col 1); bubbles 0,1 move down
-    column 0; bubbles 2,3 move right along their rows (the "2 rows + 2
-    columns" L shape, v2:10-12,1611-1680).
+    Seeds: column-0 rows 0..2 plus (row 2, col 1); bubbles 0,1 move right
+    along rows 0 and 1; bubbles 2,3 move down columns 0 and 1 (the "2 rows
+    + 2 columns" L shape; the update rule ``u = pos>>1; row += u;
+    col += 1-u`` at v2:1678-1684).
     """
     n1, n2 = len(v1), len(v2)
     out_v = np.full(nm, BIG)
@@ -101,10 +102,10 @@ def elementary_lbubble(v1, g1, v2, g2, nm: int, nb_oper: int):
 
     # [value, i, j, moves_down]
     bubbles = [
-        [cand(0, 0), 0, 0, True],
-        [cand(1, 0), 1, 0, True],
-        [cand(2, 0), 2, 0, False],
-        [cand(2, 1), 2, 1, False],
+        [cand(0, 0), 0, 0, False],
+        [cand(1, 0), 1, 0, False],
+        [cand(2, 0), 2, 0, True],
+        [cand(2, 1), 2, 1, True],
     ]
     s = 0
     for _ in range(nb_oper):
