@@ -35,6 +35,16 @@ per-edge bucket-min runs as packed single-key int32 sorts over the C
 configs (GF-major for dedup/bayes, value-major for selection) followed by
 a [*, k+1, q] one-hot expansion — the [*, C, q] one-hot of the round-1
 version OOMed at GF(256)/C=1000.
+
+The dormant ``syndrome_ems2``/``syndrome_ems3`` fast specializations
+(``:659-1303``, called only from commented-out code at ``NB_LDPC.c:390``)
+replace the per-edge decorrelation with a per-bucket top-3 cache (min3
+guarded by ``check_deviation`` :2232-2282) — a CPU shortcut that is
+*approximate*: it substitutes min3 (optimistic) or the sat constant
+(pessimistic) whenever the cache lacks a deviation-free entry for an
+edge.  This CN computes the exact decorrelated minimum those functions
+approximate; ``tests/test_syndrome_ems23.py`` pins the relationship
+case-by-case against a NumPy oracle of the ems2 decorrelator.
 """
 from __future__ import annotations
 
