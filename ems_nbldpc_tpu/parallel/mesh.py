@@ -19,6 +19,14 @@ from ..models.code import NBCode
 from ..sim.mc import SimConfig, make_batch_step
 
 
+def _to_varying(x, axis_names):
+    """Mark a replicated value as varying over mesh axes (pcast in jax
+    >= 0.9, pvary before)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_names, to="varying")
+    return jax.lax.pvary(x, axis_names)
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D frame-sharding mesh over the available (or given) devices."""
     if devices is None:
@@ -91,7 +99,7 @@ def sharded_batch_step_2d(code: NBCode, cfg: SimConfig, mesh: Mesh):
         counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
         counters = jax.lax.psum(counters, axis_name="ici")
         tot = jax.lax.psum(counters, axis_name="dcn")
-        return jax.lax.pvary(tot, ("dcn", "ici"))[None, None]
+        return _to_varying(tot, ("dcn", "ici"))[None, None]
 
     fn = jax.shard_map(
         device_step, mesh=mesh, in_specs=(P(), P()),
@@ -123,12 +131,13 @@ def sharded_batch_step(code: NBCode, cfg: SimConfig, mesh: Mesh):
         # distinct stream per mesh position
         idx = jax.lax.axis_index("frames")
         counters, _ = step(jax.random.fold_in(key, idx), ebn0, pmat)
-        # psum makes every device hold the global totals; pvary lets the
-        # replicated result be returned as stacked per-device rows under
-        # full vma checking (check_vma=False was observed to intermittently
-        # DROP the psum on the virtual CPU mesh — silent wrong counters)
+        # psum makes every device hold the global totals; the varying cast
+        # lets the replicated result be returned as stacked per-device rows
+        # under full vma checking (check_vma=False was observed to
+        # intermittently DROP the psum on the virtual CPU mesh — silent
+        # wrong counters)
         tot = jax.lax.psum(counters, axis_name="frames")
-        return jax.lax.pvary(tot, ("frames",))[None]
+        return _to_varying(tot, ("frames",))[None]
 
     fn = jax.shard_map(
         device_step,
