@@ -125,6 +125,9 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
         frames=nsim, frame_errors=errs, fer=errs / max(nsim, 1),
         elapsed_s=dt, frames_per_s=nsim / dt,
     )
+    it = re.findall(r"avr_it=([\d.]+)", out.stdout)  # NB_LDPC.c:498
+    if it:
+        res["avg_iters"] = float(it[-1])
     cache[key] = res
     json.dump(cache, open(CACHE, "w"))
     return res
