@@ -82,7 +82,7 @@ def run_measurement():
     ems_fps = er.frames_per_s
 
     cres = c_measure(matrix, ebn0, frames=12, iters=10, nm=32, offset=0.3,
-                     nboper=64, fmt="ubs", timeout=600)
+                     nboper=64, fmt="ubs", timeout=600, reps=2)
     c_fps = cres["frames_per_s"] if cres else None
     vs = fps / c_fps if c_fps else None
 
@@ -98,6 +98,7 @@ def run_measurement():
             "avg_iters": round(r.avg_iters, 2),
             "c_fer": round(cres["fer"], 5) if cres else None,
             "c_frames_per_s": round(c_fps, 3) if c_fps else None,
+            "c_fps_samples": (cres or {}).get("fps_samples"),
             "info_mbps": round(fps * code.k * code.logq / 1e6, 3),
             "device": str(jax.devices()[0]),
             "frames_per_batch": frames_per_batch,

@@ -86,8 +86,12 @@ def ensure_built(fmt: str = "kn", channel: str = "bpsk") -> str | None:
 def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
             nm: int = 30, offset: float = 0.3, nboper: int = 45,
             fmt: str = "kn", timeout: int = 1200,
-            channel: str = "bpsk") -> dict | None:
+            channel: str = "bpsk", reps: int = 1) -> dict | None:
     """Time the C binary; returns dict with frames/s and FER, or None.
+
+    ``reps > 1`` repeats the run and reports the mean frames/s plus the
+    per-rep samples (``fps_samples``), so the baseline's avg-iteration
+    timing noise is visible in the artifacts.
 
     NOTE: building two *different* (fmt, channel) variants concurrently
     races on the shared obj/ directory — build sequentially.
@@ -95,6 +99,8 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
     key = f"{matrix}:{ebn0}:{frames}:{iters}:{nm}:{offset}:{nboper}"
     if channel != "bpsk":
         key += f":{channel}"
+    if reps != 1:
+        key += f":r{reps}"
     cache = {}
     if os.path.exists(CACHE):
         try:
@@ -106,28 +112,35 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
     exe = ensure_built(fmt, channel)
     if exe is None:
         return None
-    t0 = time.perf_counter()
-    try:
-        out = subprocess.run(
-            [exe, str(frames), str(iters), f"./matrices/{matrix}",
-             str(ebn0), str(nm), str(offset), str(nboper)],
-            cwd=BUILD, stdin=subprocess.DEVNULL, capture_output=True,
-            timeout=timeout, text=True,
+    fps_samples = []
+    res = None
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        try:
+            out = subprocess.run(
+                [exe, str(frames), str(iters), f"./matrices/{matrix}",
+                 str(ebn0), str(nm), str(offset), str(nboper)],
+                cwd=BUILD, stdin=subprocess.DEVNULL, capture_output=True,
+                timeout=timeout, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        dt = time.perf_counter() - t0
+        m = re.findall(r"FER= (\d+) / (\d+)", out.stdout)
+        if not m:
+            return None
+        errs, nsim = map(int, m[-1])
+        fps_samples.append(nsim / dt)
+        res = dict(
+            frames=nsim, frame_errors=errs, fer=errs / max(nsim, 1),
+            elapsed_s=dt, frames_per_s=nsim / dt,
         )
-    except subprocess.TimeoutExpired:
-        return None
-    dt = time.perf_counter() - t0
-    m = re.findall(r"FER= (\d+) / (\d+)", out.stdout)
-    if not m:
-        return None
-    errs, nsim = map(int, m[-1])
-    res = dict(
-        frames=nsim, frame_errors=errs, fer=errs / max(nsim, 1),
-        elapsed_s=dt, frames_per_s=nsim / dt,
-    )
-    it = re.findall(r"avr_it=([\d.]+)", out.stdout)  # NB_LDPC.c:498
-    if it:
-        res["avg_iters"] = float(it[-1])
+        it = re.findall(r"avr_it=([\d.]+)", out.stdout)  # NB_LDPC.c:498
+        if it:
+            res["avg_iters"] = float(it[-1])
+    if len(fps_samples) > 1:
+        res["frames_per_s"] = sum(fps_samples) / len(fps_samples)
+        res["fps_samples"] = [round(s, 4) for s in fps_samples]
     cache[key] = res
     json.dump(cache, open(CACHE, "w"))
     return res
