@@ -81,8 +81,11 @@ def run_measurement():
     er = ems_mc.run()
     ems_fps = er.frames_per_s
 
-    cres = c_measure(matrix, ebn0, frames=12, iters=10, nm=32, offset=0.3,
-                     nboper=64, fmt="ubs", timeout=600, reps=2)
+    # 100-frame baseline run (~142 s, cached in /tmp after the first call):
+    # the round-2 12-frame samples under-measured the C binary by ~12%
+    # (startup Gaussian elimination amortized over too few frames)
+    cres = c_measure(matrix, ebn0, frames=100, iters=10, nm=32, offset=0.3,
+                     nboper=64, fmt="ubs", timeout=900, reps=1)
     c_fps = cres["frames_per_s"] if cres else None
     vs = fps / c_fps if c_fps else None
 

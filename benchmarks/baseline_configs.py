@@ -22,11 +22,23 @@ from ems_nbldpc_tpu.sim.mc import MonteCarlo, SimConfig  # noqa: E402
 
 CONFIGS = {
     # layered + early termination at the reference sweep defaults
-    # (start.sh:7-12: 10 it, nm=30, offset=0.3, nbOper=45)
+    # (start.sh:7-12: 10 it, nm=30, offset=0.3, nbOper=45).
+    # NOTE: dense storage performs the exact top-nm merge and IGNORES the
+    # nbOper budget (decoder/api.py:25-29) — a strict superset of every
+    # budget-limited bubble trajectory, so its FER can sit slightly left
+    # of C.  "mat212_list" below is the budget-matched variant (compressed
+    # truncated-list CN honoring nbOper) for the FER-parity column.
     "mat212": dict(
         matrix="Mat212_N480_M80",
         decoder=DecoderConfig(max_iters=10, schedule="layered", cn="ems",
                               nm=30, offset=0.3, nboper=45),
+        ebn0=4.0, frames=4096, batch=2048,
+    ),
+    "mat212_list": dict(
+        matrix="Mat212_N480_M80",
+        decoder=DecoderConfig(max_iters=10, schedule="layered", cn="ems",
+                              nm=30, offset=0.3, nboper=45,
+                              storage="compressed", dtype="bfloat16"),
         ebn0=4.0, frames=4096, batch=2048,
     ),
     # flagship-style operating point at GF(256) (nm=32, nbOper=64),
@@ -50,10 +62,11 @@ CONFIGS = {
 def main(which, ebn0=None, frames=None):
     c = CONFIGS[which]
     code = registry.get_code(c["matrix"])
+    max_frames = c["frames"] if frames is None else frames
     cfg = SimConfig(
         ebn0_db=c["ebn0"] if ebn0 is None else ebn0,
-        frames_per_batch=c["batch"],
-        max_frames=c["frames"] if frames is None else frames,
+        frames_per_batch=min(c["batch"], max_frames),
+        max_frames=max_frames,
         stop_errors=10**9,
         decoder=c["decoder"],
     )
@@ -69,6 +82,9 @@ def main(which, ebn0=None, frames=None):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2 or sys.argv[1] not in CONFIGS:
+        sys.exit(f"usage: python benchmarks/baseline_configs.py "
+                 f"{{{'|'.join(CONFIGS)}}} [ebn0] [frames]")
     main(sys.argv[1],
          float(sys.argv[2]) if len(sys.argv) > 2 else None,
          int(sys.argv[3]) if len(sys.argv) > 3 else None)

@@ -21,7 +21,7 @@ DEFAULT_DIRS = (
 
 def matrix_path(name: str) -> str:
     """Resolve a matrix name ('Mat24_N48_M24', 'KN/N576_K480_GF64.txt', ...)."""
-    if os.path.isabs(name) and os.path.exists(name):
+    if os.path.exists(name):   # absolute or cwd-relative path
         return name
     for d in DEFAULT_DIRS:
         if not d:

@@ -69,8 +69,15 @@ def _shardable(cfg: SimConfig) -> SimConfig:
     single-chip device; under ``shard_map`` the same decode runs as a
     ``while_loop`` (``decode_layered`` / ``decode_layered_list``) with
     identical semantics, so sharding just switches the loop style.
+
+    The rewrite is announced with a UserWarning: the replacement paths are
+    argued-equivalent but not bit-identical (e.g. the legacy topk stepper
+    computes f32 top_k where the list CN uses bf16 packed-key sorts), so a
+    user A/B-ing "the same config" sharded vs not should know the decoder
+    implementation changed underneath.
     """
     import dataclasses
+    import warnings
 
     d = cfg.decoder
     repl = {}
@@ -79,6 +86,12 @@ def _shardable(cfg: SimConfig) -> SimConfig:
     if d.storage == "compressed" and d.cn_impl == "topk":
         repl["cn_impl"] = "auto"   # list path: the shardable compressed CN
     if repl:
+        warnings.warn(
+            f"sharded execution rewrote decoder config {repl} (host control "
+            "flow cannot live under shard_map); semantics are equivalent "
+            "but numerics may differ slightly from the unsharded run",
+            stacklevel=3,
+        )
         cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(d, **repl))
     return cfg
 

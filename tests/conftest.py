@@ -6,7 +6,7 @@ import os
 # override it — real-TPU benchmarks run outside pytest.)
 # NBLDPC_TEST_TPU=1 skips the CPU pinning so `pytest -m tpu` runs on the
 # real (axon-tunneled) chip; everything else stays on the virtual CPU mesh.
-if not os.environ.get("NBLDPC_TEST_TPU"):
+if os.environ.get("NBLDPC_TEST_TPU", "").lower() in ("", "0", "false"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

@@ -4,7 +4,7 @@ import numpy as np
 from ems_nbldpc_tpu.decoder.api import DecoderConfig
 from ems_nbldpc_tpu.models import registry
 from ems_nbldpc_tpu.parallel.mesh import make_mesh, run_sharded
-from ems_nbldpc_tpu.sim.mc import MonteCarlo, SimConfig
+from ems_nbldpc_tpu.sim.mc import SimConfig
 
 
 def test_mesh_has_8_virtual_devices():
@@ -25,18 +25,41 @@ def test_sharded_counters_match_expected_scale():
     assert r.iter_sum > 0
 
 
-def test_sharded_fer_statistically_matches_single_device():
+def test_sharded_counters_exactly_match_sequential_devices():
+    """Mesh-vs-single-device equivalence as EXACT counter equality.
+
+    A psum-dropping regression (commit cec6e93 class: the reduction
+    intermittently vanished and half the errors were lost) must fail this
+    deterministically — so instead of a loose FER bound, run the identical
+    per-device PRNG streams through the 8-device shard_map step and
+    through 8 sequential single-device steps and require the [5] integer
+    counter totals to be equal."""
+    import jax.numpy as jnp
+
+    from ems_nbldpc_tpu.parallel.mesh import _shardable, sharded_batch_step
+    from ems_nbldpc_tpu.sim.mc import make_batch_step
+
     code = registry.get_code("Mat24_N48_M24")
-    dec = DecoderConfig(max_iters=8, schedule="flooding", cn="minsum")
-    cfg1 = SimConfig(ebn0_db=1.5, frames_per_batch=256, max_frames=256,
-                     stop_errors=10**9, decoder=dec)
-    r1 = MonteCarlo(code, cfg1).run()
-    cfg8 = SimConfig(ebn0_db=1.5, frames_per_batch=32, max_frames=256,
-                     stop_errors=10**9, decoder=dec)
-    r8 = run_sharded(code, cfg8, make_mesh(8))
-    # both around the true FER (~0.2 at 1.5 dB); loose binomial agreement
-    assert abs(r1.fer - r8.fer) < 0.15
-    assert r1.frames == r8.frames == 256
+    cfg = SimConfig(ebn0_db=1.5, frames_per_batch=32, max_frames=256,
+                    stop_errors=10**9,
+                    decoder=DecoderConfig(max_iters=8, schedule="flooding",
+                                          cn="minsum"))
+    sstep = sharded_batch_step(code, cfg, make_mesh(8))
+    key = jax.random.PRNGKey(7)
+    tot8 = np.asarray(sstep(key), dtype=np.int64)
+
+    # same per-device streams, decoded one device at a time (the device_step
+    # in sharded_batch_step folds axis_index into the batch key)
+    step, _ = make_batch_step(code, _shardable(cfg))
+    jstep = jax.jit(step)
+    pmat = jax.device_put(step.pmat)
+    ebn0 = jnp.float32(cfg.ebn0_db)
+    tot1 = np.zeros(5, np.int64)
+    for idx in range(8):
+        counters, _ = jstep(jax.random.fold_in(key, idx), ebn0, pmat)
+        tot1 += np.asarray(counters, dtype=np.int64)
+    assert tot1[1] > 0          # the point has real errors to drop
+    np.testing.assert_array_equal(tot8, tot1)
 
 
 def test_2d_mesh_hierarchical_reduction():
