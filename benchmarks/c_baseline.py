@@ -31,6 +31,9 @@ def ensure_built(fmt: str = "kn", channel: str = "bpsk") -> str | None:
     - "qamr_ssd_erasure": ModelChannel with the shipped defines
     - "apsk64": ModelChannel_AWGN_64 (64-APSK, no fading with the shipped
       defines)
+    - "qam256_4d": ModelChannel_AWGN_256QAM_4D (channel.c:749-929 — always
+      per-dimension Rayleigh; 10% per-dim erasures under the shipped
+      ``#define erasure``)
     """
     tag = f"{fmt}_{channel}" if channel != "bpsk" else fmt
     exe = os.path.join(BUILD, f"essai_{tag}")
@@ -67,6 +70,13 @@ def ensure_built(fmt: str = "kn", channel: str = "bpsk") -> str | None:
                 b"NBIN, EbN,&Idum);",
                 b"ModelChannel_AWGN_64 (&code, &decoder, NBIN, EbN,&Idum);",
             )
+        elif channel == "qam256_4d":
+            src = src.replace(
+                b"ModelChannel_AWGN_BPSK (&code, &decoder, &table,  "
+                b"NBIN, EbN,&Idum);",
+                b"ModelChannel_AWGN_256QAM_4D (&code, &decoder, "
+                b"NBIN, EbN,&Idum);",
+            )
         elif channel != "bpsk":
             raise ValueError(channel)
         open(mainc, "wb").write(src)
@@ -86,7 +96,8 @@ def ensure_built(fmt: str = "kn", channel: str = "bpsk") -> str | None:
 def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
             nm: int = 30, offset: float = 0.3, nboper: int = 45,
             fmt: str = "kn", timeout: int = 1200,
-            channel: str = "bpsk", reps: int = 1) -> dict | None:
+            channel: str = "bpsk", reps: int = 1,
+            matrix_file: str | None = None) -> dict | None:
     """Time the C binary; returns dict with frames/s and FER, or None.
 
     ``reps > 1`` repeats the run and reports the mean frames/s plus the
@@ -112,6 +123,12 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
     exe = ensure_built(fmt, channel)
     if exe is None:
         return None
+    if matrix_file is not None:
+        # matrices outside the reference tree (e.g. the round-2
+        # rand48_gf256.ubs cross-check code) get copied in
+        dst = os.path.join(BUILD, "matrices", matrix)
+        if not os.path.exists(dst):
+            shutil.copy(matrix_file, dst)
     fps_samples = []
     res = None
     for _ in range(max(reps, 1)):

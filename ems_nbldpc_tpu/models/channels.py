@@ -247,42 +247,87 @@ def channel_2d(key, cw, q: int, sigma: float, spec: ChannelSpec,
     return cost - jnp.min(cost, axis=-1, keepdims=True)
 
 
-def qam256_4d(key, cw, sigma: float, spec: ChannelSpec, dtype=jnp.float32):
-    """GF(256) symbols as two 16QAM uses (4 real dimensions).
+@functools.lru_cache(maxsize=None)
+def constellation_4d(labeling: str = "ref",
+                     rotated: bool = False) -> np.ndarray:
+    """[256, 4] 4-D constellation (two 16QAM uses), mean 2-D power = 1.
 
-    Reference: ``ModelChannel_AWGN_256QAM_4D`` (channel.c:749-929) — the
-    symbol's low nibble picks the first 16QAM point, high nibble the second,
-    and the intrinsic cost is the 4-D distance.  SSD fading/erasures apply
-    per 2-D component as in ``channel_2d``.
+    ``labeling="ref"`` reproduces the reference's
+    ``table_256QAM_4D_16QAM_R`` (channel.h:686-945, selected at
+    channel.c:784-788) bit-exactly up to the shared normalization
+    (verified in tests/test_channels.py).  Its structure, recovered
+    numerically from the table: the base 2-D set is the {±1,±3}² grid in
+    raster order (x fast, y slow) rotated by −31.7°, the low nibble of
+    the symbol indexes it at +1 offset, the high nibble directly::
+
+        table[g] = ( Q[(lo(g)+1) % 16],  Q[hi(g)] )
+
+    ``labeling="gray"`` keeps the round-1 synthetic map (two independent
+    Gray 16QAM uses, ``rotated`` honored).
     """
-    pts16 = jnp.asarray(
-        constellation("qam", 16, spec.rotated, spec.labeling)
-    )                                                             # [16, 2]
-    lo = cw & 0xF
-    hi = cw >> 4
-    x = jnp.concatenate([pts16[lo], pts16[hi]], axis=-1)          # [F,N,4]
+    if labeling == "ref":
+        r = np.arange(16)
+        grid = np.stack([2.0 * (r % 4) - 3.0, 2.0 * (r // 4) - 3.0], 1)
+        th = np.deg2rad(-31.7)
+        rot = np.array([[np.cos(th), -np.sin(th)],
+                        [np.sin(th), np.cos(th)]])
+        q16 = grid @ rot.T                                        # [16, 2]
+        lo = np.arange(256) & 0xF
+        hi = np.arange(256) >> 4
+        pts = np.concatenate([q16[(lo + 1) % 16], q16[hi]], axis=1)
+    else:
+        q16 = constellation("qam", 16, rotated, "gray")
+        lo = np.arange(256) & 0xF
+        hi = np.arange(256) >> 4
+        pts = np.concatenate([q16[lo], q16[hi]], axis=1)
+    # norm_factor = sqrt(2*GF / sum |x|^2)  (channel.c:800-814): mean
+    # power per 2-D channel use is 1.
+    pts = pts / np.sqrt((pts ** 2).sum(axis=1).mean() / 2.0)
+    return pts.astype(np.float32)
+
+
+def qam256_4d(key, cw, sigma: float, spec: ChannelSpec, dtype=jnp.float32):
+    """GF(256) symbols over a 4-D (two 16QAM uses) faded channel.
+
+    Reference: ``ModelChannel_AWGN_256QAM_4D`` (channel.c:749-929):
+    Rayleigh fading is drawn independently per REAL DIMENSION (4 fades per
+    symbol, channel.c:829-840) — unconditionally in the reference;
+    here gated by ``spec.ssd`` so the pure-AWGN variant stays testable.
+    Erasure quirk, unlike the 2-D path: the 4-D transmitter computes
+    NoisyBin BEFORE the erasure block (channel.c:840 vs 843-862; the 2-D
+    path transmits after it, channel.c:648-675), so the SIGNAL always
+    carries the raw fade while only the receiver's assumed attenuation is
+    zeroed/renormalized by 1/sqrt(1-p).  FER-validated against the C
+    binary (benchmarks/results_r3/CHANNEL_VALIDATION_4D.md); with the 2-D
+    convention instead, the framework measures ~2x optimistic.  The
+    receiver knows the fades (coherent, per-dimension gating
+    channel.c:884-906).
+
+    TPU-first: with per-dim fades the squared distance expands to
+    ``|a·y|·const − 2 (a⊙y)·x_g + (a⊙a)·(x_g⊙x_g)`` — two matmuls
+    against the [256, 4] table instead of a [F, N, 256, 4] broadcast.
+    """
+    cand = jnp.asarray(constellation_4d(spec.labeling, spec.rotated),
+                       dtype=dtype)                               # [256, 4]
+    x = cand[cw]                                                  # [F,N,4]
     knoise, kfade, kerase = jax.random.split(key, 3)
     noise = sigma * jax.random.normal(knoise, x.shape, dtype=dtype)
     if spec.ssd:
-        u = jax.random.uniform(kfade, x.shape[:-1] + (2,), dtype=dtype,
-                               minval=1e-12)
-        att2 = jnp.sqrt(-jnp.log(u))
+        u = jax.random.uniform(kfade, x.shape, dtype=dtype, minval=1e-12)
+        att = jnp.sqrt(-jnp.log(u))          # 4 independent per-dim fades
     else:
-        att2 = jnp.ones(x.shape[:-1] + (2,), dtype=dtype)
-    if spec.erasure_prob > 0.0:
-        er = jax.random.bernoulli(kerase, spec.erasure_prob,
-                                  x.shape[:-1] + (2,))
-        att2 = jnp.where(er, 0.0,
-                         att2 / np.sqrt(1.0 - spec.erasure_prob))
-    att = jnp.repeat(att2, 2, axis=-1)
-    y = att * x + noise
-    # candidate 4-D points for all 256 symbols
-    gl = jnp.arange(256) & 0xF
-    gh = jnp.arange(256) >> 4
-    cand = jnp.concatenate([pts16[gl], pts16[gh]], axis=-1)       # [256, 4]
-    xg = att[..., None, :] * cand[None, None, :, :]
-    d2 = jnp.sum((y[..., None, :] - xg) ** 2, axis=-1)
-    cost = d2 / (2.0 * sigma * sigma)
+        att = jnp.ones_like(x)
+    y = att * x + noise                      # raw fade on the signal
+    if spec.erasure_prob > 0.0:              # receiver-side only (quirk)
+        er = jax.random.bernoulli(kerase, spec.erasure_prob, x.shape)
+        att = jnp.where(er, 0.0, att / np.sqrt(1.0 - spec.erasure_prob))
+    ay = att * y
+    a2 = att * att
+    cross = jnp.einsum("...d,gd->...g", ay, cand,
+                       preferred_element_type=jnp.float32)
+    pw = jnp.einsum("...d,gd->...g", a2, cand * cand,
+                    preferred_element_type=jnp.float32)
+    cost = (pw - 2.0 * cross) / (2.0 * sigma * sigma)
     return cost - jnp.min(cost, axis=-1, keepdims=True)
 
 

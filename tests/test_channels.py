@@ -130,3 +130,31 @@ def test_ref_labeling_matches_reference_tables():
     ref = ref / np.sqrt((ref ** 2).sum(1).mean())
     ours = constellation("apsk64", 64, rotated=False, labeling="ref")
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+
+
+def test_ref_4d_table_matches_reference():
+    """constellation_4d('ref') must equal table_256QAM_4D_16QAM_R
+    (channel.h:686, the variant selected at channel.c:784-788) bit-exactly
+    up to the norm_factor both sides apply (channel.c:800-814)."""
+    import os
+    import re
+
+    import pytest as _pytest
+
+    path = "/root/reference/include/channel.h"
+    if not os.path.exists(path):
+        _pytest.skip("reference not available")
+    src = open(path, encoding="latin-1").read()
+    m = re.search(r"table_256QAM_4D_16QAM_R\[256\]\[4\]=\s*\{(.*?)\n\};",
+                  src, re.S)
+    rows = re.findall(
+        r"\{\s*([-\d.]+),\s*([-\d.]+),\s*([-\d.]+),\s*([-\d.]+)\}",
+        m.group(1))
+    ref = np.array(rows, dtype=float)
+    assert ref.shape == (256, 4)
+    ref = ref / np.sqrt((ref ** 2).sum(1).mean() / 2.0)
+
+    from ems_nbldpc_tpu.models.channels import constellation_4d
+
+    ours = constellation_4d("ref")
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
