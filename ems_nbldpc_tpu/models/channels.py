@@ -160,7 +160,18 @@ def constellation(kind: str, q: int, rotated: bool = False,
         side = int(round(np.sqrt(q)))
         assert side * side == q, "QAM needs square q"
         g = np.arange(q)
-        if labeling == "ref":
+        if labeling == "v2":
+            # the v2 standalone program's 256QAM grid (EMS_..._v2.c:
+            # 1186-1443, TABLEAU): natural binary raster labeling —
+            # I = high half of the bits, Q = low half, PAM value
+            # proportional to the index (no Gray / sign refinement).
+            # v2 scales by R=0.4338609 (mean symbol power 8); here unit
+            # power, so compare at SNR + 10*log10(8) (benchmarks/
+            # v2_compare.py).
+            hi, lo = g // side, g % side
+            pts = np.stack([2.0 * hi - (side - 1),
+                            2.0 * lo - (side - 1)], axis=1)
+        elif labeling == "ref":
             # even bits -> I coordinate, odd bits -> Q (channel.h rule)
             m = q.bit_length() - 1
             xl = np.zeros(q, np.int64)
