@@ -34,6 +34,12 @@ def ensure_built(fmt: str = "kn", channel: str = "bpsk") -> str | None:
     - "qam256_4d": ModelChannel_AWGN_256QAM_4D (channel.c:749-929 — always
       per-dimension Rayleigh; 10% per-dim erasures under the shipped
       ``#define erasure``)
+
+    ``channel="syndrome"`` keeps the BPSK channel but swaps the check node
+    for the syndrome-EMS architecture: uncomments the config-table recipe
+    in main (NB_LDPC.c:191-200: trapeze d=(40,15,5), sorted, capped at
+    1000) and replaces the CheckPassLogEMS call with syndrome_ems
+    (NB_LDPC.c:388-391; n_cv = the NbOper CLI argument).
     """
     tag = f"{fmt}_{channel}" if channel != "bpsk" else fmt
     exe = os.path.join(BUILD, f"essai_{tag}")
@@ -45,6 +51,8 @@ def ensure_built(fmt: str = "kn", channel: str = "bpsk") -> str | None:
         shutil.copytree(REF, BUILD, dirs_exist_ok=True)
         for root, _dirs, files in os.walk(BUILD):
             for fn in files:  # copytree keeps the source's r--r--r-- bits
+                if fn.startswith("essai_"):
+                    continue  # don't strip exec bits off built variants
                 os.chmod(os.path.join(root, fn), 0o644)
         os.makedirs(os.path.join(BUILD, "obj"), exist_ok=True)
         os.makedirs(os.path.join(BUILD, "data"), exist_ok=True)
@@ -77,8 +85,21 @@ def ensure_built(fmt: str = "kn", channel: str = "bpsk") -> str | None:
                 b"ModelChannel_AWGN_256QAM_4D (&code, &decoder, "
                 b"NBIN, EbN,&Idum);",
             )
-        elif channel != "bpsk":
+        elif channel not in ("bpsk", "syndrome"):
             raise ValueError(channel)
+        if channel == "syndrome":
+            for frag in (b"int d_1=40;", b"int d_2=15;", b"int d_3=5;",
+                         b"int **config_table;", b"int config_table_size;",
+                         b"config_table = build_config_table",
+                         b"sort_config_table(",
+                         b"config_table_size = 1000;"):
+                src = src.replace(b"//    " + frag, b"    " + frag)
+            src = src.replace(
+                b"CheckPassLogEMS (node, &decoder, &code, &table,"
+                b"NbOper,offset);",
+                b"syndrome_ems(node, &decoder, &code, &table, "
+                b"config_table, config_table_size, dc_max, offset, n_cv);",
+            )
         open(mainc, "wb").write(src)
         subprocess.run(["make", "-B"], cwd=BUILD, capture_output=True)
         objs = [f"obj/{o}.o" for o in
