@@ -158,3 +158,24 @@ def test_ref_4d_table_matches_reference():
 
     ours = constellation_4d("ref")
     np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_v2_labeling_matches_v2_tableau():
+    """labeling='v2' must equal the v2 program's 256QAM TABLEAU
+    (EMS_..._v2.c:1186-1443) bit-exactly up to its R scale factor."""
+    import os
+    import re
+
+    import pytest as _pytest
+
+    path = "/root/reference/EMS_HS_L-BubbleCheck_UBS_decoder_v2.c"
+    if not os.path.exists(path):
+        _pytest.skip("reference not available")
+    src = open(path, encoding="latin-1").read()
+    m = re.search(r"float TABLEAU\[256\]\[2\]=\{(.*?)\};", src, re.S)
+    pairs = re.findall(r"(-?\d+\.\d+),\s*(-?\d+\.\d+)", m.group(1))
+    ref = np.array(pairs, dtype=float)
+    assert ref.shape == (256, 2)
+    ref = ref / np.sqrt((ref ** 2).sum(1).mean())   # kill the R scale
+    ours = constellation("qam", 256, rotated=False, labeling="v2")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
