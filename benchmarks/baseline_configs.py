@@ -59,13 +59,14 @@ CONFIGS = {
 }
 
 
-def main(which, ebn0=None, frames=None):
+def main(which, ebn0=None, frames=None, batch=None):
     c = CONFIGS[which]
     code = registry.get_code(c["matrix"])
     max_frames = c["frames"] if frames is None else frames
     cfg = SimConfig(
         ebn0_db=c["ebn0"] if ebn0 is None else ebn0,
-        frames_per_batch=min(c["batch"], max_frames),
+        frames_per_batch=min(c["batch"] if batch is None else batch,
+                             max_frames),
         max_frames=max_frames,
         stop_errors=10**9,
         decoder=c["decoder"],
@@ -84,7 +85,8 @@ def main(which, ebn0=None, frames=None):
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in CONFIGS:
         sys.exit(f"usage: python benchmarks/baseline_configs.py "
-                 f"{{{'|'.join(CONFIGS)}}} [ebn0] [frames]")
+                 f"{{{'|'.join(CONFIGS)}}} [ebn0] [frames] [batch]")
     main(sys.argv[1],
          float(sys.argv[2]) if len(sys.argv) > 2 else None,
-         int(sys.argv[3]) if len(sys.argv) > 3 else None)
+         int(sys.argv[3]) if len(sys.argv) > 3 else None,
+         int(sys.argv[4]) if len(sys.argv) > 4 else None)

@@ -14,7 +14,7 @@ import faulthandler; faulthandler.dump_traceback_later(80, exit=True)
 import jax, numpy as np, jax.numpy as jnp
 np.asarray((jnp.ones((64,64))@jnp.ones((64,64))).sum()); print('OK')" 2>/dev/null | grep -q OK; then
       echo "$(date): TPU unhealthy (try $try), sleeping 300s" >> "$log"
-      sleep 300
+      sleep 480
       continue
     fi
     out=$(timeout 5400 bash -c "$job" 2>&1)
