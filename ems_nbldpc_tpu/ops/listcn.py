@@ -29,6 +29,7 @@ table lookups (``bubble_decoder.c:133-152,231-254``) without any gather.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,19 @@ from .minconv import INF, scatter_topk_dense
 # value assigned to deduplicated / unfilled slots; must sort after every
 # real LLR but stay far from f32/bf16 saturation when offsets are added
 BIG = jnp.float32(1e9)
+
+
+def _sort1(x):
+    """Single-operand last-axis sort, optionally on a flattened batch.
+
+    NBLDPC_LISTSORT=flat reshapes [..., w] to [prod(batch), w] around the
+    sort: XLA's TPU sort tiles 2-D operands more predictably than 4-D+
+    ones (the F=256 layout pathology, benchmarks/NOTES.md round 3).
+    """
+    if os.environ.get("NBLDPC_LISTSORT", "native") != "flat" or x.ndim <= 2:
+        return jax.lax.sort(x)
+    shp = x.shape
+    return jax.lax.sort(x.reshape(-1, shp[-1])).reshape(shp)
 
 
 def mul_cols(gf, coefs: np.ndarray, inverse: bool = False) -> np.ndarray:
@@ -89,7 +103,7 @@ def topk_list(dense: jax.Array, nm: int):
         jnp.minimum(dense, BIG).astype(jnp.bfloat16), jnp.uint16
     ).astype(jnp.int32)
     key = (vbits << 8) | jnp.arange(q, dtype=jnp.int32)
-    key = jax.lax.sort(key)[..., :nm]
+    key = _sort1(key)[..., :nm]
     vals = jax.lax.bitcast_convert_type(
         ((key >> 8) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
     ).astype(jnp.float32)
@@ -178,7 +192,7 @@ def list_combine(
     ).astype(jnp.int32)
     g32 = cand_g.astype(jnp.int32)
     # key1: g major, value minor -> GF runs sorted by value
-    k1 = jax.lax.sort((g32 << 16) | vbits)
+    k1 = _sort1((g32 << 16) | vbits)
     gpart = k1 >> 16
     first = jnp.concatenate(
         [jnp.ones(batch + (1,), bool), gpart[..., 1:] != gpart[..., :-1]],
@@ -187,7 +201,7 @@ def list_combine(
     # key2: value major, g minor (both recoverable); dups -> +inf key
     k2 = ((k1 & 0xFFFF) << 8) | gpart
     k2 = jnp.where(first, k2, jnp.int32(0x7FFFFFFF))
-    k2 = jax.lax.sort(k2)
+    k2 = _sort1(k2)
     width = k2.shape[-1]
     if width < nm:
         k2 = jnp.pad(k2, [(0, 0)] * len(batch) + [(0, nm - width)],
