@@ -484,6 +484,64 @@ def _make_list_iteration(g: DeviceGraph, plans, nm: int, offset: float,
     return one_iteration
 
 
+def _make_list_iteration_densecv(g: DeviceGraph, plans, nm: int,
+                                 offset: float, nboper: int):
+    """List-CN sweep with DENSE CtoV storage (perf variant, same math).
+
+    The compressed iteration expands stored (vals, gfs, sat) lists to a
+    dense [F, G, dc, q] view every time a layer revisits its edges — a
+    [.., nm, q] one-hot min per edge per sweep.  Here CtoV is kept dense
+    ([F, E+1, q] bf16, ~1 GB at the flagship F=128 — fine single-chip,
+    NOT for the 10k-frames/chip mesh path which stays compressed), so the
+    revisit is a plain gather and the one-hot expansion runs once, on the
+    CN output.  Output values/sat are quantized to the storage dtype
+    *before* the shared expansion so the stored message equals what the
+    compressed path would reconstruct (same EMS semantics; APP sees the
+    quantized sat, a <=1-ulp bf16 difference from the compressed path).
+    """
+    from ..ops.listcn import (expand_list, fb_checknode_list, neutral_list,
+                              rotate_ids, saturate_list, topk_list)
+
+    q = g.q
+    truncate = topk_list if nboper > 0 else (
+        lambda m, k: topk_message(m, k)
+    )
+
+    def one_iteration(app, cv, active):
+        for p in plans:
+            edge_ids = jnp.asarray(p["edge_ids"])            # [G, dc]
+            cols = jnp.asarray(p["cols"])
+            valid = jnp.asarray(p["valid"])
+            rc_in = jnp.asarray(p["rc_in"])                  # [G, dc, logq]
+            rc_out = jnp.asarray(p["rc_out"])
+
+            app_rows = app[:, cols]                          # [F, G, dc, q]
+            ctov_rows = cv[:, edge_ids].astype(app.dtype)
+            mvc = app_rows - ctov_rows
+            mvc = mvc - jnp.min(mvc, axis=-1, keepdims=True)
+            bv, bg = truncate(mvc.astype(jnp.float32), nm)
+            bgr = rotate_ids(bg, rc_in[None])
+            nv, ng = neutral_list(bv.shape[:-1], nm)
+            lane = valid[None, ..., None]
+            bv = jnp.where(lane, bv, nv)
+            bgr = jnp.where(lane, bgr, ng)
+            ov, ogr = fb_checknode_list(bv, bgr, nm, nboper)
+            og = rotate_ids(ogr, rc_out[None])
+            ov, sat = saturate_list(ov, offset)
+            ov = ov.astype(cv.dtype).astype(jnp.float32)
+            sat = sat.astype(cv.dtype).astype(jnp.float32)
+            dense = expand_list(ov, og, sat, q, app.dtype)
+
+            keep = ~active[:, None, None]                    # [F, 1, 1]
+            new_cv = jnp.where(keep[..., None], ctov_rows, dense)
+            new_app = jnp.where(keep[..., None], app_rows, mvc + dense)
+            cv = cv.at[:, edge_ids].set(new_cv.astype(cv.dtype))
+            app = app.at[:, cols].set(new_app.astype(app.dtype))
+        return app, cv
+
+    return one_iteration
+
+
 def _list_init_state(g: DeviceGraph, intrinsic, nm: int, dtype):
     f = intrinsic.shape[0]
     n, q, e = g.code.n, g.q, g.n_edges
@@ -542,29 +600,63 @@ def make_layered_list_stepper(
     """Host-loop variant (one short jitted execution per iteration) — the
     robust path for the tunneled single-chip device; see benchmarks/NOTES.md.
     """
-    key = ("list", _graph_key(g), nm, offset, nboper, jnp.dtype(dtype).name)
+    densecv = os.environ.get("NBLDPC_LIST_DENSECV", "0") == "1"
+    # the env knobs are baked in at trace time -> must be part of the key
+    trunc = os.environ.get("NBLDPC_LIST_TRUNC", "sort")
+    lsort = os.environ.get("NBLDPC_LISTSORT", "native")
+    key = ("list", _graph_key(g), nm, offset, nboper, jnp.dtype(dtype).name,
+           densecv, trunc, lsort)
     if key in _stepper_cache:
         return _stepper_cache[key]
     plans = _layer_plan(g)
-    one_iteration = _make_list_iteration(g, plans, nm, offset, nboper)
     n = g.code.n
 
-    @jax.jit
-    def init_fn(intrinsic):
-        return _list_init_state(g, intrinsic, nm, dtype)
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state):
-        app, cv_v, cv_g, cv_sat, decide, conv, iters = state
-        active = ~conv
-        app, cv_v, cv_g, cv_sat = one_iteration(
-            app, cv_v, cv_g, cv_sat, active
+    if densecv:
+        one_iteration = _make_list_iteration_densecv(
+            g, plans, nm, offset, nboper
         )
-        d_new = jnp.argmin(app[:, :n], axis=-1).astype(jnp.int32)
-        decide = jnp.where(active[:, None], d_new, decide)
-        conv = conv | syndrome_ok(g, decide)
-        iters = iters + active.astype(jnp.int32)
-        return app, cv_v, cv_g, cv_sat, decide, conv, iters
+
+        @jax.jit
+        def init_fn(intrinsic):
+            app0, _, _, _, d0, conv0, iters0 = _list_init_state(
+                g, intrinsic, nm, dtype
+            )
+            f = intrinsic.shape[0]
+            cv0 = zeros_like_vma(
+                intrinsic, (f, g.n_edges + 1, g.q), dtype
+            )  # CtoV := 0 (NB_LDPC.c:273-288); all-zero IS the dense neutral
+            return app0, cv0, d0, conv0, iters0
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state):
+            app, cv, decide, conv, iters = state
+            active = ~conv
+            app, cv = one_iteration(app, cv, active)
+            d_new = jnp.argmin(app[:, :n], axis=-1).astype(jnp.int32)
+            decide = jnp.where(active[:, None], d_new, decide)
+            conv = conv | syndrome_ok(g, decide)
+            iters = iters + active.astype(jnp.int32)
+            return app, cv, decide, conv, iters
+
+    else:
+        one_iteration = _make_list_iteration(g, plans, nm, offset, nboper)
+
+        @jax.jit
+        def init_fn(intrinsic):
+            return _list_init_state(g, intrinsic, nm, dtype)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state):
+            app, cv_v, cv_g, cv_sat, decide, conv, iters = state
+            active = ~conv
+            app, cv_v, cv_g, cv_sat = one_iteration(
+                app, cv_v, cv_g, cv_sat, active
+            )
+            d_new = jnp.argmin(app[:, :n], axis=-1).astype(jnp.int32)
+            decide = jnp.where(active[:, None], d_new, decide)
+            conv = conv | syndrome_ok(g, decide)
+            iters = iters + active.astype(jnp.int32)
+            return app, cv_v, cv_g, cv_sat, decide, conv, iters
 
     _stepper_cache[key] = (init_fn, step_fn)
     return init_fn, step_fn
@@ -575,7 +667,7 @@ def decode_layered_list_hostloop(g, intrinsic, max_iters, nm, offset=0.3,
     init_fn, step_fn = make_layered_list_stepper(g, nm, offset, nboper, dtype)
     state = init_fn(intrinsic)
     for _ in range(max_iters):
-        if bool(np.asarray(state[5].all())):
+        if bool(np.asarray(state[-2].all())):
             break
         state = step_fn(state)
-    return state[4], state[6], state[5]
+    return state[-3], state[-1], state[-2]

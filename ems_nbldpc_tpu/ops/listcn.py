@@ -97,13 +97,34 @@ def topk_list(dense: jax.Array, nm: int):
     bf16 whose bit pattern is order-isomorphic for non-negatives, so the
     (value, GF) pair sorts as ONE int32 key — the same sort-truncate as
     ``NB_LDPC.c:354-374`` at single-operand sort cost.
+
+    NBLDPC_LIST_TRUNC selects the selection primitive (perf A/B, all three
+    produce ascending (vals, ids)):
+      - "sort" (default): full packed-key lane sort, slice nm.
+      - "topk": ``lax.top_k`` on the negated packed key — EXACT same
+        result; lowers to the TPU PartialReduce custom call instead of a
+        full bitonic sort.
+      - "approx": ``lax.approx_min_k`` (recall ~0.95) on the f32 values —
+        approximate (can miss a true top-nm entry); experimental turbo
+        mode, NOT used for parity claims.
     """
     q = dense.shape[-1]
+    mode = os.environ.get("NBLDPC_LIST_TRUNC", "sort")
+    if mode == "approx":
+        vals, ids = jax.lax.approx_min_k(
+            jnp.minimum(dense, BIG).astype(jnp.float32), nm
+        )
+        # quantize like the packed path so downstream dtype behavior matches
+        vals = vals.astype(jnp.bfloat16).astype(jnp.float32)
+        return vals, ids.astype(jnp.int32)
     vbits = jax.lax.bitcast_convert_type(
         jnp.minimum(dense, BIG).astype(jnp.bfloat16), jnp.uint16
     ).astype(jnp.int32)
     key = (vbits << 8) | jnp.arange(q, dtype=jnp.int32)
-    key = _sort1(key)[..., :nm]
+    if mode == "topk":
+        key = -jax.lax.top_k(-key, nm)[0]
+    else:
+        key = _sort1(key)[..., :nm]
     vals = jax.lax.bitcast_convert_type(
         ((key >> 8) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
     ).astype(jnp.float32)

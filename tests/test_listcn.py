@@ -192,3 +192,50 @@ def test_stepper_cache_content_keyed():
     g2 = DeviceGraph.from_code(registry.get_code("Mat26_N48_M16"))
     assert _graph_key(g1) == _graph_key(g1b)
     assert _graph_key(g1) != _graph_key(g2)
+
+
+def test_densecv_variant_matches_compressed():
+    """NBLDPC_LIST_DENSECV=1 (dense CtoV storage, one expansion per layer)
+    must decode like the compressed stepper: same EMS semantics, only a
+    <=1-ulp bf16 sat quantization difference in APP."""
+    import os
+
+    from ems_nbldpc_tpu.decoder.layered import decode_layered_list_hostloop
+
+    code = registry.get_code("benchmarks/results_r2/rand48_gf256.ubs")
+    g = DeviceGraph.from_code(code)
+    rng = np.random.default_rng(7)
+    intrinsic = jnp.asarray(rng.random((16, code.n, code.q)), jnp.float32) * 6
+    intrinsic = intrinsic - intrinsic.min(axis=-1, keepdims=True)
+    kw = dict(max_iters=6, nm=16, offset=0.3, nboper=32, dtype=jnp.bfloat16)
+    d1, it1, c1 = decode_layered_list_hostloop(g, intrinsic, **kw)
+    os.environ["NBLDPC_LIST_DENSECV"] = "1"
+    try:
+        d2, it2, c2 = decode_layered_list_hostloop(g, intrinsic, **kw)
+    finally:
+        del os.environ["NBLDPC_LIST_DENSECV"]
+    # decisions may differ on frames still churning at the budget; converged
+    # results and iteration counts must agree
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    conv = np.asarray(c1)
+    np.testing.assert_array_equal(np.asarray(d1)[conv], np.asarray(d2)[conv])
+    assert abs(int(np.asarray(it1).sum()) - int(np.asarray(it2).sum())) <= 2
+
+
+def test_trunc_topk_variant_is_exact():
+    """NBLDPC_LIST_TRUNC=topk (lax.top_k on packed keys) is bit-identical
+    to the default packed-key sort."""
+    import os
+
+    from ems_nbldpc_tpu.ops.listcn import topk_list
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((5, 7, 64)), jnp.float32) * 10
+    v1, g1 = topk_list(x, 12)
+    os.environ["NBLDPC_LIST_TRUNC"] = "topk"
+    try:
+        v2, g2 = topk_list(x, 12)
+    finally:
+        del os.environ["NBLDPC_LIST_TRUNC"]
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
