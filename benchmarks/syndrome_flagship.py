@@ -6,7 +6,11 @@ n_cv=45, trapeze d=(40,15,5) capped at 1000, bayes + presorting, 10 iters.
 Dense f32 host loop, F=32 (the shape that fits this CN at DVB-T2 scale —
 see benchmarks/NOTES.md round-2 syndrome section).
 
-Usage: python benchmarks/syndrome_flagship.py [ebn0] [frames]
+bf16 is FER-neutral for this CN (CPU A/B on rand48_gf256: 13/256 both
+dtypes at 2.0 dB) and halves the [F, G, dc, C+1, q] one-hot intermediates
+— the memory limiter at this scale — so F can double.
+
+Usage: python benchmarks/syndrome_flagship.py [ebn0] [frames] [dtype] [F]
 """
 import sys
 import time
@@ -18,14 +22,14 @@ from ems_nbldpc_tpu.models import registry  # noqa: E402
 from ems_nbldpc_tpu.sim.mc import MonteCarlo, SimConfig  # noqa: E402
 
 
-def main(ebn0=1.5, frames=256):
+def main(ebn0=1.5, frames=256, dtype="float32", f=32):
     code = registry.get_code("Declercq_64800_R12_GF256")
     cfg = SimConfig(
-        ebn0_db=ebn0, frames_per_batch=32, max_frames=frames,
+        ebn0_db=ebn0, frames_per_batch=f, max_frames=frames,
         stop_errors=10**9,
         decoder=DecoderConfig(
             max_iters=10, schedule="layered", cn="syndrome",
-            loop="host", storage="dense", dtype="float32",
+            loop="host", storage="dense", dtype=dtype,
             syn_ncv=45, syn_d=(40, 15, 5), syn_shape="trapeze",
             syn_max_configs=1000,
         ),
@@ -43,4 +47,6 @@ def main(ebn0=1.5, frames=256):
 
 if __name__ == "__main__":
     main(float(sys.argv[1]) if len(sys.argv) > 1 else 1.5,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 256,
+         sys.argv[3] if len(sys.argv) > 3 else "float32",
+         int(sys.argv[4]) if len(sys.argv) > 4 else 32)
