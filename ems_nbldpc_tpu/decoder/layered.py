@@ -604,8 +604,9 @@ def make_layered_list_stepper(
     # the env knobs are baked in at trace time -> must be part of the key
     trunc = os.environ.get("NBLDPC_LIST_TRUNC", "sort")
     lsort = os.environ.get("NBLDPC_LISTSORT", "native")
+    cnsel = os.environ.get("NBLDPC_LIST_CNSEL", "sort")
     key = ("list", _graph_key(g), nm, offset, nboper, jnp.dtype(dtype).name,
-           densecv, trunc, lsort)
+           densecv, trunc, lsort, cnsel)
     if key in _stepper_cache:
         return _stepper_cache[key]
     plans = _layer_plan(g)

@@ -222,12 +222,16 @@ def list_combine(
     # key2: value major, g minor (both recoverable); dups -> +inf key
     k2 = ((k1 & 0xFFFF) << 8) | gpart
     k2 = jnp.where(first, k2, jnp.int32(0x7FFFFFFF))
-    k2 = _sort1(k2)
     width = k2.shape[-1]
     if width < nm:
         k2 = jnp.pad(k2, [(0, 0)] * len(batch) + [(0, nm - width)],
                      constant_values=0x7FFFFFFF)
-    k2 = k2[..., :nm]
+    if os.environ.get("NBLDPC_LIST_CNSEL", "sort") == "topk":
+        # only the best nm of the ~nboper*ln(nm) candidates are kept:
+        # top_k (TPU PartialReduce) instead of a full sort — bit-identical
+        k2 = -jax.lax.top_k(-k2, nm)[0]
+    else:
+        k2 = _sort1(k2)[..., :nm]
     dup = k2 == 0x7FFFFFFF
     g_w = jnp.where(dup, jnp.arange(nm, dtype=jnp.int32), k2 & 0xFF)
     v_w = jax.lax.bitcast_convert_type(

@@ -239,3 +239,24 @@ def test_trunc_topk_variant_is_exact():
         del os.environ["NBLDPC_LIST_TRUNC"]
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_cnsel_topk_variant_is_exact():
+    """NBLDPC_LIST_CNSEL=topk (top_k for the CN value-major selection) is
+    bit-identical to the default sort."""
+    import os
+
+    rng = np.random.default_rng(11)
+    nm = 8
+    av = jnp.asarray(np.sort(rng.random((6, nm)), axis=-1), jnp.float32) * 4
+    bv = jnp.asarray(np.sort(rng.random((6, nm)), axis=-1), jnp.float32) * 4
+    ag = jnp.asarray(rng.permuted(np.tile(np.arange(16), (6, 1)), axis=1)[:, :nm])
+    bg = jnp.asarray(rng.permuted(np.tile(np.arange(16), (6, 1)), axis=1)[:, :nm])
+    v1, g1 = list_combine(av, ag, bv, bg, nm, nboper=12)
+    os.environ["NBLDPC_LIST_CNSEL"] = "topk"
+    try:
+        v2, g2 = list_combine(av, ag, bv, bg, nm, nboper=12)
+    finally:
+        del os.environ["NBLDPC_LIST_CNSEL"]
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
