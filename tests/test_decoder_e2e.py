@@ -158,3 +158,22 @@ def test_syndrome_cn_flooding_schedule():
                         nm=12, syn_ncv=24, syn_d=(11, 4, 2))
     d, _, conv = decode(code, intrinsic, cfg)
     assert (np.asarray(d) == cw).all(axis=1).mean() > 0.85
+
+
+@pytest.mark.slow
+def test_mackay_gf4_decodes_end_to_end():
+    """MacKay q-ary alist codes (GF(4)/GF(8)) decode through the full
+    chain — a capability the C reference lacks (init.c:431-435 only ships
+    GF(16/64/256) binary images)."""
+    from ems_nbldpc_tpu.models import registry
+    from ems_nbldpc_tpu.sim.mc import MonteCarlo, SimConfig
+
+    code = registry.get_code("MacKay/q4.sp.9000.6000.4500.1", fmt="alist")
+    assert (code.n, code.q) == (9000, 4)
+    cfg = SimConfig(
+        ebn0_db=2.5, frames_per_batch=8, max_frames=8, stop_errors=10**9,
+        decoder=DecoderConfig(max_iters=8, schedule="layered", cn="minsum"),
+    )
+    r = MonteCarlo(code, cfg).run()
+    assert r.fer == 0.0
+    assert r.avg_iters < 8
