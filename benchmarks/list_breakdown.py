@@ -28,7 +28,6 @@ NM, NBOPER = 32, 64
 
 
 def timeit(name, fn, *args):
-    out = jax.block_until_ready if False else None  # noqa: F841
     r = fn(*args)
     np.asarray(jax.tree.leaves(r)[0])  # compile+sync
     ts = []
