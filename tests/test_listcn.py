@@ -260,3 +260,24 @@ def test_cnsel_topk_variant_is_exact():
         del os.environ["NBLDPC_LIST_CNSEL"]
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_listsort_flat_variant_is_exact():
+    """NBLDPC_LISTSORT=flat (2-D reshape around lax.sort) is bit-identical
+    to the native batched sort through the full CN merge."""
+    import os
+
+    rng = np.random.default_rng(19)
+    nm = 8
+    av = jnp.asarray(np.sort(rng.random((3, 6, nm)), axis=-1), jnp.float32) * 4
+    bv = jnp.asarray(np.sort(rng.random((3, 6, nm)), axis=-1), jnp.float32) * 4
+    ag = jnp.asarray(rng.permuted(np.tile(np.arange(16), (3, 6, 1)), axis=2)[..., :nm])
+    bg = jnp.asarray(rng.permuted(np.tile(np.arange(16), (3, 6, 1)), axis=2)[..., :nm])
+    v1, g1 = list_combine(av, ag, bv, bg, nm, nboper=12)
+    os.environ["NBLDPC_LISTSORT"] = "flat"
+    try:
+        v2, g2 = list_combine(av, ag, bv, bg, nm, nboper=12)
+    finally:
+        del os.environ["NBLDPC_LISTSORT"]
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
