@@ -5,7 +5,7 @@ stop-free inputs) with cn_impl in {topk, pallas} on a GF(64) code and a
 GF(256) code, plus the compressed list path for context.  Prints
 s/iteration and frames/s.  Run on the real TPU.
 
-Usage: python benchmarks/pallas_ab.py [gf64|gf256|both] [F]
+Usage: python benchmarks/pallas_ab.py [gf64|gf256|both] [F] [impl,impl,...]
 """
 import sys
 import time
@@ -65,9 +65,10 @@ def bench(matrix, ebn0, impls, F, iters=10, nm=30, nboper=0, reps=3):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     F = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    impls = sys.argv[3].split(",") if len(sys.argv) > 3 else [
+        "topk", "pallas", "list"]
     if which in ("gf64", "both"):
-        bench("KN/N576_K480_GF64.txt", 3.5, ["topk", "pallas", "list"], F,
-              nm=30, nboper=64)
+        bench("KN/N576_K480_GF64.txt", 3.5, impls, F, nm=30, nboper=64)
     if which in ("gf256", "both"):
-        bench("benchmarks/results_r2/rand48_gf256.ubs", 2.0,
-              ["topk", "pallas", "list"], F, nm=32, nboper=64)
+        bench("benchmarks/results_r2/rand48_gf256.ubs", 2.0, impls, F,
+              nm=32, nboper=64)
