@@ -59,8 +59,14 @@ CONFIGS = {
 }
 
 
-def main(which, ebn0=None, frames=None, batch=None):
+def main(which, ebn0=None, frames=None, batch=None, loop=None):
     c = CONFIGS[which]
+    if loop is not None:
+        # host loop = one short XLA execution per iteration; the tunneled
+        # TPU worker survives it far better than monolithic while_loops
+        # in its crash-prone windows (benchmarks/NOTES.md)
+        from dataclasses import replace
+        c = dict(c, decoder=replace(c["decoder"], loop=loop))
     code = registry.get_code(c["matrix"])
     max_frames = c["frames"] if frames is None else frames
     cfg = SimConfig(
@@ -85,8 +91,9 @@ def main(which, ebn0=None, frames=None, batch=None):
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in CONFIGS:
         sys.exit(f"usage: python benchmarks/baseline_configs.py "
-                 f"{{{'|'.join(CONFIGS)}}} [ebn0] [frames] [batch]")
+                 f"{{{'|'.join(CONFIGS)}}} [ebn0] [frames] [batch] [loop]")
     main(sys.argv[1],
          float(sys.argv[2]) if len(sys.argv) > 2 else None,
          int(sys.argv[3]) if len(sys.argv) > 3 else None,
-         int(sys.argv[4]) if len(sys.argv) > 4 else None)
+         int(sys.argv[4]) if len(sys.argv) > 4 else None,
+         sys.argv[5] if len(sys.argv) > 5 else None)
