@@ -6,6 +6,13 @@ GF(256) code, plus the compressed list path for context.  Prints
 s/iteration and frames/s.  Run on the real TPU.
 
 Usage: python benchmarks/pallas_ab.py [gf64|gf256|both] [F] [impl,impl,...]
+       [device|host]
+
+The optional 4th arg selects the decode loop: ``device`` = one jitted
+while_loop program (fastest, but the tunneled worker crashes on
+monolithic layered programs in some windows — see benchmarks/NOTES.md);
+``host`` = per-iteration jit (identical math; adds ~10 ms dispatch per
+iteration to EVERY arm equally, so the A/B delta is preserved).
 """
 import sys
 import time
@@ -22,7 +29,8 @@ from ems_nbldpc_tpu.models import registry  # noqa: E402
 from ems_nbldpc_tpu.models.channels import bpsk_awgn, sigma_for, ChannelSpec  # noqa: E402
 
 
-def bench(matrix, ebn0, impls, F, iters=10, nm=30, nboper=0, reps=3):
+def bench(matrix, ebn0, impls, F, iters=10, nm=30, nboper=0, reps=3,
+          loop="device"):
     code = registry.get_code(matrix)
     g = DeviceGraph.from_code(code)
     key = jax.random.PRNGKey(0)
@@ -37,9 +45,10 @@ def bench(matrix, ebn0, impls, F, iters=10, nm=30, nboper=0, reps=3):
             cn_impl=impl if impl != "list" else "auto",
             storage="compressed" if impl == "list" else "dense",
             dtype="bfloat16" if impl == "list" else "float32",
+            loop=loop,
         )
-        if impl == "list":
-            # the compressed stepper hosts its own per-iteration jit
+        if impl == "list" or loop == "host":
+            # host-loop steppers manage their own per-iteration jits
             fn = lambda x, cfg=cfg: decode(g, jnp.asarray(x), cfg)  # noqa: E731
         else:
             fn = jax.jit(lambda x, cfg=cfg: decode(g, jnp.asarray(x), cfg))
@@ -67,8 +76,10 @@ if __name__ == "__main__":
     F = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     impls = sys.argv[3].split(",") if len(sys.argv) > 3 else [
         "topk", "pallas", "list"]
+    loop = sys.argv[4] if len(sys.argv) > 4 else "device"
     if which in ("gf64", "both"):
-        bench("KN/N576_K480_GF64.txt", 3.5, impls, F, nm=30, nboper=64)
+        bench("KN/N576_K480_GF64.txt", 3.5, impls, F, nm=30, nboper=64,
+              loop=loop)
     if which in ("gf256", "both"):
         bench("benchmarks/results_r2/rand48_gf256.ubs", 2.0, impls, F,
-              nm=32, nboper=64)
+              nm=32, nboper=64, loop=loop)
