@@ -47,10 +47,13 @@ def bench(matrix, ebn0, impls, F, iters=10, nm=30, nboper=0, reps=3,
             dtype="bfloat16" if impl == "list" else "float32",
             loop=loop,
         )
-        if impl == "list" or loop == "host":
+        if loop == "host":
             # host-loop steppers manage their own per-iteration jits
             fn = lambda x, cfg=cfg: decode(g, jnp.asarray(x), cfg)  # noqa: E731
         else:
+            # device loop: jit EVERY arm (incl. impl='list', whose
+            # decode_layered_list is a fully-jittable while_loop) so the
+            # A/B is symmetric — round-3 ADVICE item 1
             fn = jax.jit(lambda x, cfg=cfg: decode(g, jnp.asarray(x), cfg))
         try:
             d, it, conv = fn(intr)

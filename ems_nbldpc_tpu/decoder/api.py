@@ -55,6 +55,16 @@ def decode(code_or_graph, intrinsic, cfg: DecoderConfig):
 
     Returns (decide [F, N] int32, iters [F] int32, converged [F] bool).
     """
+    if cfg.loop not in ("device", "host"):
+        # a typo'd loop value would silently select the device while_loop —
+        # the exact crash-prone path host-loop callers exist to avoid
+        raise ValueError(
+            f"loop={cfg.loop!r}: expected 'device' or 'host'"
+        )
+    if cfg.storage not in ("dense", "compressed"):
+        raise ValueError(
+            f"storage={cfg.storage!r}: expected 'dense' or 'compressed'"
+        )
     g = (
         code_or_graph
         if isinstance(code_or_graph, DeviceGraph)

@@ -35,6 +35,15 @@ def test_syndrome_ok_device_matches_numpy():
     assert np.array_equal(syndrome_np(code, bad) > 0, ~ok2)
 
 
+def test_bad_loop_and_storage_rejected():
+    # a typo'd loop knob must not silently select the device while_loop
+    # (round-3 ADVICE item 3)
+    code, _, intrinsic = _setup(frames=2)
+    for bad in (dict(loop="hsot"), dict(storage="desne")):
+        with pytest.raises(ValueError):
+            decode(code, intrinsic, DecoderConfig(max_iters=2, **bad))
+
+
 @pytest.mark.parametrize("schedule", ["flooding", "layered"])
 @pytest.mark.parametrize("cn", ["minsum", "ems"])
 def test_decode_corrects_at_high_snr(schedule, cn):
