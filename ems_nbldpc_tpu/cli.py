@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=0,
                    help="shard frames over this many devices (0 = single)")
     p.add_argument("--out", default="./data", help="result directory")
+    p.add_argument("--resume", action="store_true",
+                   help="skip Eb/N0 points already recorded in "
+                        "<out>/results.jsonl for this exact config "
+                        "(checkpoint/resume for interrupted sweeps)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -152,7 +156,7 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(args.devices)
     run_sweep(code, _parse_grid(args.ebn0), base, out_dir=args.out,
-              verbose=not args.quiet, mesh=mesh)
+              verbose=not args.quiet, mesh=mesh, resume=args.resume)
     return 0
 
 

@@ -21,20 +21,27 @@ from .mc import MonteCarlo, SimConfig, SimResult
 
 def completed_points(out_dir: str, code: NBCode, cfg: SimConfig) -> set:
     """Eb/N0 points already recorded in results.jsonl for this config
-    (checkpoint/resume for interrupted sweeps)."""
+    (checkpoint/resume for interrupted sweeps).
+
+    A point only counts as done if the line's full ``config_key`` (channel
+    kind/impairments, CN family + budget knobs, storage/dtype, stop rule —
+    see ``sim.mc.config_key``) matches the resuming config's.  Lines
+    written before the key existed never match: resume conservatively
+    re-runs them rather than risk skipping a different config's points.
+    """
+    from .mc import config_key
+
     path = os.path.join(out_dir or "", "results.jsonl")
     done = set()
     if not out_dir or not os.path.exists(path):
         return done
-    d = cfg.decoder
+    want = config_key(cfg)
     for line in open(path):
         try:
             r = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if (r.get("code") == code.name and r.get("nm") == d.nm
-                and r.get("schedule") == d.schedule and r.get("cn") == d.cn
-                and r.get("max_iters") == d.max_iters):
+        if r.get("code") == code.name and r.get("config_key") == want:
             done.add(round(float(r["ebn0_db"]), 6))
     return done
 

@@ -66,3 +66,41 @@ def test_sweep_resume_skips_done_points(tmp_path):
     r2 = run_sweep(code, [2.0, 2.5], base, out_dir=str(tmp_path),
                    verbose=False, resume=True)
     assert len(r2) == 1  # 2.0 skipped, only 2.5 ran
+
+
+def test_sweep_resume_does_not_skip_other_configs(tmp_path):
+    """A resumed sweep with a different channel / budget / storage must
+    NOT treat another config's recorded points as its own (round-3
+    VERDICT weak item 6: resume used to match on five decoder fields
+    only, so e.g. a Rayleigh sweep would skip points recorded by the
+    plain-AWGN sweep at the same nm/schedule/cn/iters)."""
+    import dataclasses
+
+    from ems_nbldpc_tpu.models.channels import ChannelSpec
+    from ems_nbldpc_tpu.sim.sweep import run_sweep
+
+    code = registry.get_code("Mat24_N48_M24")
+    base = SimConfig(
+        ebn0_db=0, frames_per_batch=64, max_frames=64, stop_errors=10**9,
+        decoder=DecoderConfig(max_iters=3, schedule="layered", cn="ems",
+                              nm=12, offset=0.3),
+    )
+    assert len(run_sweep(code, [2.0], base, out_dir=str(tmp_path),
+                         verbose=False)) == 1
+    variants = [
+        dataclasses.replace(base, channel=ChannelSpec(rayleigh=True)),
+        dataclasses.replace(
+            base, decoder=dataclasses.replace(base.decoder, nboper=24)),
+        dataclasses.replace(
+            base, decoder=dataclasses.replace(
+                base.decoder, storage="compressed", dtype="bfloat16")),
+        dataclasses.replace(base, stop_errors=40),
+    ]
+    for cfg in variants:
+        r = run_sweep(code, [2.0], cfg, out_dir=str(tmp_path),
+                      verbose=False, resume=True)
+        assert len(r) == 1, "resume skipped a point from a different config"
+    # ... while the SAME config still resumes
+    r = run_sweep(code, [2.0], base, out_dir=str(tmp_path),
+                  verbose=False, resume=True)
+    assert len(r) == 0
