@@ -10,6 +10,26 @@ VMEM scratch, and only the [TILE, dc, q] outputs are written back.
 The elementary combine is the truncated tropical convolution
 ``out[s] = min_j bv[j] + a[s ^ bg[j]]`` with the XOR realized as log2(q)
 conditional lane rolls (no gathers — see ops/minconv.xor_gather).
+
+STATUS (round-4 verdict, per the round-3 prove-or-cut rule in
+benchmarks/results_r3/HARVEST.md): **demoted to documented reference
+material — NOT wired into cn_impl="auto"; opt-in only.**  Evidence:
+
+- round 3, combined A/B job: the pallas arm sat >8 min device-wedged
+  with no output where the XLA arms complete in seconds, then the TPU
+  worker crashed ("TPU worker process crashed";
+  results_r3/queue_attempt1.log).
+- round 3/4, isolated single-arm treatment job with per-impl selection
+  and its own timeout (`pallas_ab gf64 128 pallas host`, r3d queue):
+  produced NO output within the 600 s budget on the same night the
+  control (`topk`) measured 14.7 s/decode — the wedge reproduces in
+  isolation (results_r3/queue.log).
+
+The interpret-mode tests (tests/test_pallas_cn.py) pin the kernel's
+semantics against the golden CN and remain green on CPU; the kernel
+stays available via cn_impl="pallas" for future TPU runtimes where the
+Mosaic lowering does not wedge this tunneled worker.  Per-impl A/B
+remains in benchmarks/pallas_ab.py.
 """
 from __future__ import annotations
 
