@@ -293,7 +293,10 @@ def make_layered_stepper(
     ``state = step_fn(state)``; state = (app, ctov, decide, conv, iters).
     """
     key = (_graph_key(g), nm, offset, cn, cn_impl, nboper,
-           tuple(sorted((syn or {}).items())))
+           tuple(sorted((syn or {}).items())),
+           # trace-time env knobs baked into the compiled step
+           os.environ.get("NBLDPC_SPA_GROUPED", "auto"),
+           os.environ.get("NBLDPC_ROT", "auto"))
     if key in _stepper_cache:
         return _stepper_cache[key]
     plans = _layer_plan(g)
@@ -605,8 +608,9 @@ def make_layered_list_stepper(
     trunc = os.environ.get("NBLDPC_LIST_TRUNC", "sort")
     lsort = os.environ.get("NBLDPC_LISTSORT", "native")
     cnsel = os.environ.get("NBLDPC_LIST_CNSEL", "sort")
+    fbmode = os.environ.get("NBLDPC_LIST_FB", "auto")
     key = ("list", _graph_key(g), nm, offset, nboper, jnp.dtype(dtype).name,
-           densecv, trunc, lsort, cnsel)
+           densecv, trunc, lsort, cnsel, fbmode)
     if key in _stepper_cache:
         return _stepper_cache[key]
     plans = _layer_plan(g)

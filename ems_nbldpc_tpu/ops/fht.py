@@ -148,7 +148,24 @@ def grouped_wht(x: jax.Array, rotplan, gf, direction: str) -> jax.Array:
     whose group_coefs give each group's GF coefficient.  direction 'in':
     WHT of the h-rotated message; 'out': h-un-rotated inverse WHT (caller
     divides by q).  One matmul per coefficient group either way.
+
+    NBLDPC_SPA_GROUPED selects the lowering (same math either way):
+      - "concat": one ragged einsum per group + concat.  Fine for few
+        groups, but a code like Ahmed_64800_R910_GF256 has 33 distinct
+        coefficients -> ~34 tiny matmuls + 34-part concats per direction
+        per layer (the round-3 Ahmed SPA slowdown).
+      - "blocked": ONE batched einsum — positions sorted by coefficient
+        are padded into fixed-size blocks, each block contracting against
+        its own fused-Hadamard matrix gathered from a per-code stack
+        (the grouped-GEMM / MoE dispatch pattern).
+      - "auto" (default): blocked above _BLOCKED_MIN_GROUPS groups.
     """
+    mode = os.environ.get("NBLDPC_SPA_GROUPED", "auto")
+    if mode == "auto":
+        mode = "blocked" if len(rotplan.bounds) > _BLOCKED_MIN_GROUPS \
+            else "concat"
+    if mode == "blocked":
+        return blocked_wht(x, rotplan, gf, direction)
     spec = "fpv,uv->fpu" if direction == "in" else "fpu,uv->fpv"
     xs = x[:, rotplan.sort_idx]
     parts = []
@@ -161,6 +178,67 @@ def grouped_wht(x: jax.Array, rotplan, gf, direction: str) -> jax.Array:
         )
     xs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return xs[:, rotplan.unsort_idx]
+
+
+_BLOCKED_MIN_GROUPS = int(os.environ.get("NBLDPC_SPA_BLOCKED_MIN", "16"))
+_BLOCK = 8  # positions per block; TPU sublane count
+
+
+def _blocked_layout(rotplan):
+    """Pad coefficient-sorted positions into _BLOCK-sized single-coef
+    blocks.  Returns (pos [B*_BLOCK] int32 source positions — padding
+    slots repeat a real position and are simply never read back —,
+    gids [B] int32 coefficient ids, unsort [P] int32 padded-slot of each
+    original position)."""
+    pos, gids, unsort = [], [], np.zeros(len(rotplan.sort_idx), np.int64)
+    for i, (s, e) in enumerate(rotplan.bounds):
+        grp = rotplan.sort_idx[s:e]
+        nblk = -(-len(grp) // _BLOCK)
+        padded = np.concatenate(
+            [grp, np.full(nblk * _BLOCK - len(grp), grp[0], grp.dtype)]
+        )
+        unsort[grp] = sum(len(p) for p in pos) + np.arange(len(grp))
+        pos.append(padded)
+        gids.extend([rotplan.group_coefs[i]] * nblk)
+    return (
+        np.concatenate(pos).astype(np.int32),
+        np.asarray(gids, np.int64),
+        unsort.astype(np.int32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def hadamard_stack(q: int, prim: int, vocab: tuple) -> np.ndarray:
+    """[V, q, q] stack of fused-Hadamard matrices for a code's distinct
+    coefficients.  ONE np array per (q, prim, vocab) so every layer's
+    blocked einsum bakes the identical literal (XLA dedups it)."""
+    return np.stack([fused_hadamard(q, prim, h) for h in vocab])
+
+
+def blocked_wht(x: jax.Array, rotplan, gf, direction: str) -> jax.Array:
+    """Rotation-folded WHT as ONE batched einsum over coefficient blocks.
+
+    Equivalent to the concat lowering of ``grouped_wht`` (same per-group
+    matrices, same contraction, float-associativity aside): positions are
+    ordered by coefficient, padded to _BLOCK-multiples per group, and each
+    block contracts against its own fused-Hadamard matrix — 'fbkv,buv'
+    lowers to one batched GEMM on the MXU, with no per-group slices or
+    concats regardless of how many distinct coefficients the code has.
+    """
+    vocab = tuple(sorted(set(rotplan.group_coefs)))
+    gid_of = {h: i for i, h in enumerate(vocab)}
+    pos, gids, unsort = _blocked_layout(rotplan)
+    stack = hadamard_stack(gf.q, gf.prim, vocab)
+    f, _, q = x.shape
+    b = len(gids)
+    xs = x[:, pos].reshape(f, b, _BLOCK, q)
+    hs = jnp.asarray(stack)[
+        jnp.asarray([gid_of[int(h)] for h in gids], jnp.int32)
+    ]                                                     # [B, q, q]
+    spec = "fbkv,buv->fbku" if direction == "in" else "fbku,buv->fbkv"
+    y = jnp.einsum(spec, xs, hs, precision=_WHT_PRECISION,
+                   preferred_element_type=jnp.float32)
+    return y.reshape(f, b * _BLOCK, q)[:, unsort]
 
 
 def fb_checknode_spa_fused(mvc: jax.Array, rotplan, gf) -> jax.Array:

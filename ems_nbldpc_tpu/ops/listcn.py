@@ -251,8 +251,26 @@ def fb_checknode_list(
     structure of ``CheckPassLogEMS`` (``bubble_decoder.c:97,166-227``):
     2*(dc-2) chain merges + (dc-2) middle merges, with the fwd and bwd
     chains batched into one merge per step and all middles in one merge.
+
+    NBLDPC_LIST_FB selects the recursion shape:
+      - "chain" (default): the reference's own F/B association — dc-2
+        sequential 2-wide merges + one (dc-2)-wide middle merge.  The
+        budget-matched parity mode.
+      - "tree": Hillis-Steele scan over the dc axis — ceil(log2 dc)+1
+        sequential merges, each 2*dc wide.  Same objective (truncated
+        min-conv of the dc-1 extrinsic inputs, per-merge staircase budget
+        honored) under a different association: intermediate truncations
+        happen at different points, so outputs are NOT bit-identical to
+        the chain; FER equivalence is validated by CI overlap (see
+        tests + benchmarks).  Built for wide rows (Ahmed dc=20: 19
+        sequential merges/layer -> 6) where chain depth, not width,
+        dominates on TPU.
+      - "auto": currently "chain" (flip per-device after the round-4 A/B).
     """
+    mode = os.environ.get("NBLDPC_LIST_FB", "auto")
     dc = bv.shape[-2]
+    if mode == "tree" and dc > 3:
+        return _fb_list_tree(bv, bg, nm, nboper)
     if dc == 1:
         nv, ng = neutral_list(bv.shape[:-2], nm, bv.dtype)
         return nv[..., None, :], ng[..., None, :]
@@ -286,6 +304,46 @@ def fb_checknode_list(
     out_v.append(fwd_v[-1])
     out_g.append(fwd_g[-1])
     return jnp.stack(out_v, axis=-2), jnp.stack(out_g, axis=-2)
+
+
+def _fb_list_tree(bv: jax.Array, bg: jax.Array, nm: int, nboper: int):
+    """Log-depth prefix/suffix list merges (see fb_checknode_list).
+
+    The suffix scan of x is the reverse of the prefix scan of reversed x,
+    so both scans run as ONE Hillis-Steele doubling pass over a stacked
+    [..., 2, dc, nm] tensor: ceil(log2 dc) sequential ``list_combine``
+    calls of width 2*dc, then one final prefix-x-suffix merge.  Merging
+    with the neutral list is exact identity (the staircase always keeps
+    column j=0, and neutral tails sort behind every real entry), so the
+    masked lanes of the doubling pass are free of special cases.
+    """
+    dc = bv.shape[-2]
+    batch = bv.shape[:-2]
+
+    def shift_down(v, g, s):
+        # prepend s neutral slots along the dc axis
+        nv, ng = neutral_list(batch + (2, s), nm, v.dtype)
+        return (
+            jnp.concatenate([nv, v[..., :-s, :]], axis=-2),
+            jnp.concatenate([ng, g[..., :-s, :]], axis=-2),
+        )
+
+    pv = jnp.stack([bv, bv[..., ::-1, :]], axis=-3)       # [..., 2, dc, nm]
+    pg = jnp.stack([bg, bg[..., ::-1, :]], axis=-3)
+    s = 1
+    while s < dc:
+        sv, sg = shift_down(pv, pg, s)
+        pv, pg = list_combine(pv, pg, sv, sg, nm, nboper)
+        s *= 2
+    pre_v, pre_g = pv[..., 0, :, :], pg[..., 0, :, :]     # prefix 0..i
+    suf_v = pv[..., 1, ::-1, :]                            # suffix i..dc-1
+    suf_g = pg[..., 1, ::-1, :]
+    nv1, ng1 = neutral_list(batch + (1,), nm, bv.dtype)
+    lo_v = jnp.concatenate([nv1, pre_v[..., :-1, :]], axis=-2)  # 0..i-1
+    lo_g = jnp.concatenate([ng1, pre_g[..., :-1, :]], axis=-2)
+    hi_v = jnp.concatenate([suf_v[..., 1:, :], nv1], axis=-2)   # i+1..dc-1
+    hi_g = jnp.concatenate([suf_g[..., 1:, :], ng1], axis=-2)
+    return list_combine(lo_v, lo_g, hi_v, hi_g, nm, nboper)
 
 
 def saturate_list(ov: jax.Array, offset: float):

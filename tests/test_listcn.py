@@ -281,3 +281,76 @@ def test_listsort_flat_variant_is_exact():
         del os.environ["NBLDPC_LISTSORT"]
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_fb_tree_equals_chain_when_exact():
+    """NBLDPC_LIST_FB=tree must equal the chain association whenever no
+    truncation loss occurs (nm = q, nboper = 0): the exact
+    top-nm-distinct merge is the min-plus convolution, which is
+    associative, and integer-valued inputs make float adds exact."""
+    import os
+
+    rng = np.random.default_rng(11)
+    q, dc, rows = 16, 7, 5
+    vals = rng.integers(0, 1 << 16, size=(rows, dc, q)).astype(np.float32)
+    vals -= vals.min(-1, keepdims=True)
+    from ems_nbldpc_tpu.ops.minconv import topk_message
+
+    bv, bg = topk_message(jnp.asarray(vals), q)
+    ov1, og1 = fb_checknode_list(bv, bg, q)
+    os.environ["NBLDPC_LIST_FB"] = "tree"
+    try:
+        ov2, og2 = fb_checknode_list(bv, bg, q)
+    finally:
+        del os.environ["NBLDPC_LIST_FB"]
+    np.testing.assert_array_equal(np.asarray(ov1), np.asarray(ov2))
+    np.testing.assert_array_equal(np.asarray(og1), np.asarray(og2))
+
+
+def test_fb_tree_truncated_output_wellformed_and_decodes():
+    """Truncated tree outputs: ascending, distinct GF among filled slots;
+    and the e2e tree decode matches the chain decode's FER behavior on a
+    real code (same frames, nearly identical decisions)."""
+    import os
+
+    import jax
+
+    from ems_nbldpc_tpu.decoder.api import DecoderConfig, decode
+    from ems_nbldpc_tpu.models.channels import ChannelSpec, bpsk_awgn, sigma_for
+
+    rng = np.random.default_rng(12)
+    bvals = rng.random((6, 12, 24)).astype(np.float32) * 5
+    bvals.sort(axis=-1)
+    bgs = np.stack([
+        rng.permutation(64)[:24] for _ in range(6 * 12)
+    ]).reshape(6, 12, 24)
+    os.environ["NBLDPC_LIST_FB"] = "tree"
+    try:
+        ov, og = fb_checknode_list(
+            jnp.asarray(bvals), jnp.asarray(bgs), 24, nboper=45
+        )
+        ov, og = np.asarray(ov), np.asarray(og)
+        assert (np.diff(ov, axis=-1) >= 0).all(), "outputs must ascend"
+        for idx in np.ndindex(ov.shape[:-1]):
+            filled = ov[idx] < float(BIG) / 2
+            gs = og[idx][filled]
+            assert len(set(gs.tolist())) == len(gs), "duplicate GF"
+
+        # e2e: dc=12 code through the tree path
+        code = registry.get_code("Mat212_N96_M16")
+        g = DeviceGraph.from_code(code)
+        key = jax.random.PRNGKey(0)
+        sigma = sigma_for(ChannelSpec(), 3.5, code.rate)
+        cw = jnp.zeros((64, code.n), jnp.int32)
+        intr, _ = bpsk_awgn(key, cw, code.q, sigma)
+        cfg = DecoderConfig(max_iters=10, schedule="layered", cn="ems",
+                            nm=30, offset=0.3, nboper=45,
+                            storage="compressed", dtype="bfloat16")
+        d_tree, _, c_tree = decode(g, intr, cfg)
+    finally:
+        del os.environ["NBLDPC_LIST_FB"]
+    d_chain, _, c_chain = decode(g, intr, cfg)
+    fer_tree = float((np.asarray(d_tree) != 0).any(1).mean())
+    fer_chain = float((np.asarray(d_chain) != 0).any(1).mean())
+    # both associations decode the same regime (within MC slack on 64 frames)
+    assert abs(fer_tree - fer_chain) <= 0.1, (fer_tree, fer_chain)
