@@ -15,8 +15,10 @@ process so every row shares the same device window:
 
 Usage: python benchmarks/ahmed_probe.py [F] [pairs...]
   pairs from {decl_spa, ahmed_spa, decl_list, ahmed_list}; default all.
-Knobs under test go through the usual env vars (NBLDPC_SPA_GROUPED,
-NBLDPC_LIST_FB, NBLDPC_LIST_CNSEL, NBLDPC_LISTSORT, ...).
+  A pair may carry knob overrides applied for that run only:
+  ``ahmed_list@NBLDPC_LIST_FB=tree`` — the env is set before the stepper
+  builds (all knobs are trace-time and live in the stepper cache keys),
+  so several knob settings A/B inside ONE process = one device window.
 """
 import os
 import sys
@@ -46,12 +48,25 @@ PAIRS = {
 }
 
 
-def probe(name, F, ebn0=3.0, steady_iters=5):
+def probe(spec, F, ebn0=3.0, steady_iters=5):
+    name, _, knobstr = spec.partition("@")
+    knobs = dict(kv.split("=", 1) for kv in knobstr.split(",") if kv)
+    old = {k: os.environ.get(k) for k in knobs}
+    os.environ.update(knobs)
+    try:
+        return _probe(spec, name, F, ebn0, steady_iters)
+    finally:
+        for k, v in old.items():
+            os.environ.pop(k, None) if v is None else \
+                os.environ.__setitem__(k, v)
+
+
+def _probe(spec, name, F, ebn0, steady_iters):
     matrix, kind = PAIRS[name]
     code = registry.get_code(matrix)
     g = DeviceGraph.from_code(code)
     rp = g.rows_rotplan
-    print(f"[{name}] {matrix}: M={code.m_rows} dc={code.dc_max} "
+    print(f"[{spec}] {matrix}: M={code.m_rows} dc={code.dc_max} "
           f"layers={len(g.layers)} rot_groups={len(rp.bounds)}", flush=True)
     key = jax.random.PRNGKey(0)
     sigma = sigma_for(ChannelSpec(), ebn0, code.rate)
@@ -85,7 +100,7 @@ def probe(name, F, ebn0=3.0, steady_iters=5):
     # implied steady-state frames/s at the measured avg_it of the r3d
     # runs (ahmed list 7.04, ahmed spa 4.26, flagship ~7 / 4.8)
     avg_it = 7.0 if kind == "list" else 4.5
-    print(f"[{name}] F={F} compile(init)={t_init:.1f}s first_step="
+    print(f"[{spec}] F={F} compile(init)={t_init:.1f}s first_step="
           f"{t_first:.1f}s steady={s_iter:.3f} s/iter (median {med:.3f}; "
           f"all {['%.3f' % t for t in ts]}) -> "
           f"{F / (s_iter * avg_it):.2f} frames/s at avg_it={avg_it}",

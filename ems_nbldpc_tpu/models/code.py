@@ -129,31 +129,125 @@ class NBCode:
 
 
 def _color_rows(parsed: ParsedMatrix) -> tuple:
-    """Greedy partition of rows into column-disjoint groups (super-layers).
+    """Partition rows into column-disjoint groups (super-layers).
 
     The reference's layered schedule is strictly sequential over rows
     (``NB_LDPC.c:320``); rows that share no variable are order-independent, so
     they may run in one batched step with identical fixed-point semantics.
+
+    The layer count IS the decoder's sequential depth per iteration, so
+    fewer layers = fewer (and wider) batched CN steps.  Two candidate
+    colorings of the row-conflict graph (rows adjacent iff they share a
+    column) are computed and the better one kept — fewest layers, then
+    most balanced:
+
+    - the round-1 balanced greedy (place each row in the smallest
+      conflict-free group);
+    - DSATUR + two repair passes ((a) dissolve dwarf layers into the
+      others where possible, (b) re-balance sizes).  DSATUR wins big on
+      wide rows — 9 vs 13 layers on Ahmed_64800_R910_GF256 (dc=20), 3 vs
+      5 on the Declercq flagship — but its tie-breaking loses to the
+      greedy on a couple of small codes, hence best-of-both.
     """
-    m = parsed.m
+    a = _balanced_greedy_color(parsed)
+    b = _dsatur_color(parsed)
+
+    def score(layers):
+        sizes = [len(g) for g in layers]
+        return (len(layers), max(sizes) - min(sizes))
+
+    return a if score(a) <= score(b) else b
+
+
+def _balanced_greedy_color(parsed: ParsedMatrix) -> tuple:
     groups: list[list[int]] = []
-    group_cols: list[set] = []
-    # balanced greedy: place each row in the *smallest* conflict-free group
-    # so super-layers end up near-equal (a tiny trailing layer would waste
-    # a full batched step on a handful of rows)
-    for r in range(m):
+    gcols: list[set] = []
+    for r in range(parsed.m):
         cols = set(parsed.row_cols[r].tolist())
-        candidates = [
-            gi for gi in range(len(groups)) if not (group_cols[gi] & cols)
-        ]
-        if candidates:
-            gi = min(candidates, key=lambda i: len(groups[i]))
+        cand = [i for i in range(len(groups)) if not (gcols[i] & cols)]
+        if cand:
+            gi = min(cand, key=lambda i: len(groups[i]))
             groups[gi].append(r)
-            group_cols[gi] |= cols
+            gcols[gi] |= cols
         else:
             groups.append([r])
-            group_cols.append(set(cols))
+            gcols.append(set(cols))
     return tuple(np.array(g, dtype=np.int32) for g in groups)
+
+
+def _dsatur_color(parsed: ParsedMatrix) -> tuple:
+    from collections import defaultdict
+
+    m = parsed.m
+    row_cols = [set(parsed.row_cols[r].tolist()) for r in range(m)]
+    colrows = defaultdict(list)
+    for r in range(m):
+        for c in row_cols[r]:
+            colrows[c].append(r)
+    adj: list[set] = [set() for _ in range(m)]
+    for rs in colrows.values():
+        for a in rs:
+            adj[a].update(rs)
+    for r in range(m):
+        adj[r].discard(r)
+    deg = [len(a) for a in adj]
+
+    # DSATUR: color the most saturation-constrained row first
+    colors = np.full(m, -1, dtype=np.int64)
+    sat: list[set] = [set() for _ in range(m)]
+    order = sorted(range(m), key=lambda r: -deg[r])
+    for _ in range(m):
+        r = max((x for x in order if colors[x] < 0),
+                key=lambda x: (len(sat[x]), deg[x]))
+        c = 0
+        while c in sat[r]:
+            c += 1
+        colors[r] = c
+        for b in adj[r]:
+            sat[b].add(c)
+    k = int(colors.max()) + 1
+    groups = [list(np.flatnonzero(colors == c)) for c in range(k)]
+    gcols = [set().union(*(row_cols[r] for r in g)) for g in groups]
+
+    def fits(r, gi):
+        return not (row_cols[r] & gcols[gi])
+
+    # (a) dissolve the smallest groups entirely when every row relocates
+    improved = True
+    while improved and len(groups) > 1:
+        improved = False
+        gi = min(range(len(groups)), key=lambda i: len(groups[i]))
+        moves = []
+        for r in groups[gi]:
+            tgt = next((j for j in range(len(groups))
+                        if j != gi and fits(r, j)), None)
+            if tgt is None:
+                break
+            moves.append((r, tgt))
+            gcols[tgt] |= row_cols[r]   # tentative; rolled back via rebuild
+        else:
+            for r, tgt in moves:
+                groups[tgt].append(r)
+            del groups[gi], gcols[gi]
+            improved = True
+        if not improved:
+            gcols = [set().union(*(row_cols[r] for r in g)) for g in groups]
+
+    # (b) balance: shift rows from the largest into the smallest groups
+    for _ in range(m):
+        big = max(range(len(groups)), key=lambda i: len(groups[i]))
+        small = min(range(len(groups)), key=lambda i: len(groups[i]))
+        if len(groups[big]) - len(groups[small]) <= 1:
+            break
+        r = next((r for r in groups[big] if fits(r, small)), None)
+        if r is None:
+            break
+        groups[big].remove(r)
+        groups[small].append(r)
+        gcols[small] |= row_cols[r]
+        gcols[big] = set().union(*(row_cols[x] for x in groups[big]))
+
+    return tuple(np.sort(np.array(g, dtype=np.int32)) for g in groups)
 
 
 def from_parsed(parsed: ParsedMatrix, name: str = "") -> NBCode:
