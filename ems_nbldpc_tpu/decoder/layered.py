@@ -423,6 +423,36 @@ def decode_layered_compressed(g, intrinsic, max_iters, nm, offset=0.3,
 # ---------------------------------------------------------------------------
 
 
+def _stack_plans(plans, g: DeviceGraph):
+    """Pad per-layer index arrays to a common row count and stack them
+    [L, Gmax, ...] so the layer sweep can run as ONE lax.scan body.
+
+    Padded rows point at the existing dummy slots (edge E, column N,
+    coefficient 0, valid=False): their gathers read the pad slots, their
+    CN lanes are masked to the neutral list, and their scatters land back
+    on the dummy slots — the same invariants the unrolled path already
+    maintains for irregular-row padding.
+    """
+    e, n = g.n_edges, g.code.n
+    gmax = max(p["shape"][0] for p in plans)
+    dc = plans[0]["shape"][1]
+    logq = plans[0]["rc_in"].shape[-1]
+
+    def pad(a, fill, width=gmax):
+        out = np.full((width,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    return dict(
+        edge_ids=np.stack([pad(p["edge_ids"], e) for p in plans]),
+        cols=np.stack([pad(p["cols"], n) for p in plans]),
+        valid=np.stack([pad(p["valid"], False) for p in plans]),
+        rc_in=np.stack([pad(p["rc_in"], 0) for p in plans]),
+        rc_out=np.stack([pad(p["rc_out"], 0) for p in plans]),
+        shape=(len(plans), gmax, dc, logq),
+    )
+
+
 def _make_list_iteration(g: DeviceGraph, plans, nm: int, offset: float,
                          nboper: int):
     """One layered sweep over all super-layers, truncated-list EMS CN.
@@ -430,7 +460,88 @@ def _make_list_iteration(g: DeviceGraph, plans, nm: int, offset: float,
     State: dense APP [F, N+1, q] + compressed CtoV (vals [F, E+1, nm],
     gfs [F, E+1, nm] uint8, sat [F, E+1]) — the reference's own CtoV
     content (nm sorted entries + saturated fill, bubble_decoder.c:262-278).
+
+    NBLDPC_LAYER_SCAN=1 runs the sweep as one ``lax.scan`` over stacked
+    layer plans instead of a Python-unrolled chain: an L-layer code's
+    per-iteration program shrinks ~L-fold (Ahmed CPU jit 87 s -> 39 s),
+    bit-identical math (tested).  Steady-state is a trade: the scan
+    blocks cross-layer fusion (CPU measured ~60% slower per iteration),
+    so "auto" currently stays unrolled; the scan is the tool for
+    compile-dominated settings and for shrinking the monolithic device
+    programs that crash the tunneled TPU worker (benchmarks/NOTES.md).
     """
+    mode = os.environ.get("NBLDPC_LAYER_SCAN", "auto")
+    use_scan = mode == "1" and len(plans) > 1
+    if use_scan:
+        return _make_list_iteration_scan(g, plans, nm, offset, nboper)
+    return _make_list_iteration_unrolled(g, plans, nm, offset, nboper)
+
+
+def _make_list_iteration_scan(g: DeviceGraph, plans, nm: int, offset: float,
+                              nboper: int):
+    from ..ops.listcn import (expand_list, fb_checknode_list, neutral_list,
+                              rotate_ids, saturate_list, topk_list)
+
+    q = g.q
+    truncate = topk_list if nboper > 0 else (
+        lambda m, k: topk_message(m, k)
+    )
+    sp = _stack_plans(plans, g)
+
+    def one_iteration(app, cv_v, cv_g, cv_sat, active):
+        keep = ~active[:, None, None]                     # [F, 1, 1]
+
+        def body(carry, xs):
+            app, cv_v, cv_g, cv_sat = carry
+            edge_ids, cols, valid, rc_in, rc_out = xs
+            app_rows = app[:, cols]                       # [F, G, dc, q]
+            cvv_rows = cv_v[:, edge_ids]
+            cvg_rows = cv_g[:, edge_ids]
+            sat_rows = cv_sat[:, edge_ids]
+            ctov_rows = expand_list(
+                cvv_rows.astype(jnp.float32), cvg_rows,
+                sat_rows.astype(jnp.float32), q, app.dtype,
+            )
+            mvc = app_rows - ctov_rows
+            mvc = mvc - jnp.min(mvc, axis=-1, keepdims=True)
+            bv, bg = truncate(mvc.astype(jnp.float32), nm)
+            bgr = rotate_ids(bg, rc_in[None])
+            nv, ng = neutral_list(bv.shape[:-1], nm)
+            lane = valid[None, ..., None]
+            bv = jnp.where(lane, bv, nv)
+            bgr = jnp.where(lane, bgr, ng)
+            ov, ogr = fb_checknode_list(bv, bgr, nm, nboper)
+            og = rotate_ids(ogr, rc_out[None])
+            ov, sat = saturate_list(ov, offset)
+            dense = expand_list(ov, og, sat, q, app.dtype)
+
+            new_v = jnp.where(keep[..., None], cvv_rows,
+                              ov.astype(cv_v.dtype))
+            new_g = jnp.where(keep[..., None], cvg_rows,
+                              og.astype(cv_g.dtype))
+            new_sat = jnp.where(keep, sat_rows, sat.astype(cv_sat.dtype))
+            new_app = jnp.where(keep[..., None], app_rows, mvc + dense)
+            cv_v = cv_v.at[:, edge_ids].set(new_v)
+            cv_g = cv_g.at[:, edge_ids].set(new_g)
+            cv_sat = cv_sat.at[:, edge_ids].set(new_sat)
+            app = app.at[:, cols].set(new_app.astype(app.dtype))
+            return (app, cv_v, cv_g, cv_sat), None
+
+        xs = (
+            jnp.asarray(sp["edge_ids"]), jnp.asarray(sp["cols"]),
+            jnp.asarray(sp["valid"]), jnp.asarray(sp["rc_in"]),
+            jnp.asarray(sp["rc_out"]),
+        )
+        (app, cv_v, cv_g, cv_sat), _ = jax.lax.scan(
+            body, (app, cv_v, cv_g, cv_sat), xs
+        )
+        return app, cv_v, cv_g, cv_sat
+
+    return one_iteration
+
+
+def _make_list_iteration_unrolled(g: DeviceGraph, plans, nm: int,
+                                  offset: float, nboper: int):
     from ..ops.listcn import (expand_list, fb_checknode_list, neutral_list,
                               rotate_ids, saturate_list, topk_list)
 
@@ -609,8 +720,9 @@ def make_layered_list_stepper(
     lsort = os.environ.get("NBLDPC_LISTSORT", "native")
     cnsel = os.environ.get("NBLDPC_LIST_CNSEL", "sort")
     fbmode = os.environ.get("NBLDPC_LIST_FB", "auto")
+    lscan = os.environ.get("NBLDPC_LAYER_SCAN", "auto")
     key = ("list", _graph_key(g), nm, offset, nboper, jnp.dtype(dtype).name,
-           densecv, trunc, lsort, cnsel, fbmode)
+           densecv, trunc, lsort, cnsel, fbmode, lscan)
     if key in _stepper_cache:
         return _stepper_cache[key]
     plans = _layer_plan(g)

@@ -354,3 +354,32 @@ def test_fb_tree_truncated_output_wellformed_and_decodes():
     fer_chain = float((np.asarray(d_chain) != 0).any(1).mean())
     # both associations decode the same regime (within MC slack on 64 frames)
     assert abs(fer_tree - fer_chain) <= 0.1, (fer_tree, fer_chain)
+
+
+def test_layer_scan_bitwise_matches_unrolled():
+    """NBLDPC_LAYER_SCAN=1 (lax.scan over stacked layer plans) must be
+    bit-identical to the Python-unrolled sweep — same op sequence, only
+    the program structure changes."""
+    import os
+
+    from ems_nbldpc_tpu.decoder.layered import (
+        _stepper_cache, make_layered_list_stepper)
+
+    code = registry.get_code("Mat212_N96_M16")  # irregular layer sizes
+    g = DeviceGraph.from_code(code)
+    rng = np.random.default_rng(9)
+    intrinsic = jnp.asarray(rng.random((4, code.n, code.q)), jnp.float32) * 8
+    outs = {}
+    for mode in ("0", "1"):
+        os.environ["NBLDPC_LAYER_SCAN"] = mode
+        try:
+            init_fn, step_fn = make_layered_list_stepper(
+                g, nm=16, offset=0.3, nboper=32, dtype=jnp.float32)
+            st = init_fn(intrinsic)
+            for _ in range(3):
+                st = step_fn(st)
+            outs[mode] = [np.asarray(x) for x in st]
+        finally:
+            del os.environ["NBLDPC_LAYER_SCAN"]
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_array_equal(a, b)
