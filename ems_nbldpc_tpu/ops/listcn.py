@@ -269,7 +269,11 @@ def fb_checknode_list(
     """
     mode = os.environ.get("NBLDPC_LIST_FB", "auto")
     dc = bv.shape[-2]
-    if mode == "tree" and dc > 3:
+    # tree mode relies on merge-with-neutral being an exact identity,
+    # which needs the staircase to keep every row at column 0: true iff
+    # nboper >= nm (or unbudgeted).  The rare nboper < nm configs (e.g.
+    # the reference Release target's nm=25 nbOper=24) stay on the chain.
+    if mode == "tree" and dc > 3 and (nboper <= 0 or nboper >= nm):
         return _fb_list_tree(bv, bg, nm, nboper)
     if dc == 1:
         nv, ng = neutral_list(bv.shape[:-2], nm, bv.dtype)
