@@ -29,7 +29,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(HERE, "benchmarks", "last_bench.json")
-CHILD_TIMEOUT_S = 1200
+CHILD_TIMEOUT_S = 1500  # cold-cache C baseline now takes 3 x ~140 s
 
 
 def run_measurement():
@@ -45,6 +45,19 @@ def run_measurement():
     matrix = "Declercq_64800_R12_GF256"
     ebn0 = 1.8
     frames_per_batch = 128
+
+    # Baseline protocol (round-3 VERDICT weak item 2): 3 reps of the
+    # 100-frame C run (~140 s each; cached in /tmp after the first call),
+    # MEDIAN frames/s, per-rep samples recorded in the artifact.  100
+    # frames amortizes the startup Gaussian elimination the round-2
+    # 12-frame samples under-measured by ~12%; the median absorbs one
+    # host-load-perturbed rep (the 33% single-rep swing of BENCH_r03).
+    # Measured FIRST so a later TPU wedge cannot lose the cached
+    # denominator, and so the C timing never overlaps this process's own
+    # TPU-side host work.
+    cres = c_measure(matrix, ebn0, frames=100, iters=10, nm=32, offset=0.3,
+                     nboper=64, fmt="ubs", timeout=900, reps=3)
+    c_fps = cres["frames_per_s"] if cres else None
 
     code = registry.get_code(matrix)
     cfg = SimConfig(
@@ -81,12 +94,6 @@ def run_measurement():
     er = ems_mc.run()
     ems_fps = er.frames_per_s
 
-    # 100-frame baseline run (~142 s, cached in /tmp after the first call):
-    # the round-2 12-frame samples under-measured the C binary by ~12%
-    # (startup Gaussian elimination amortized over too few frames)
-    cres = c_measure(matrix, ebn0, frames=100, iters=10, nm=32, offset=0.3,
-                     nboper=64, fmt="ubs", timeout=900, reps=1)
-    c_fps = cres["frames_per_s"] if cres else None
     vs = fps / c_fps if c_fps else None
 
     result = {

@@ -121,9 +121,12 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
             matrix_file: str | None = None) -> dict | None:
     """Time the C binary; returns dict with frames/s and FER, or None.
 
-    ``reps > 1`` repeats the run and reports the mean frames/s plus the
-    per-rep samples (``fps_samples``), so the baseline's avg-iteration
-    timing noise is visible in the artifacts.
+    ``reps > 1`` repeats the run and reports the MEDIAN frames/s plus the
+    per-rep samples (``fps_samples``) — the round-4 baseline protocol
+    (round-3 VERDICT weak item 2: a single-rep denominator swung the
+    headline multiplier by 33% between rounds under host-load noise;
+    the median of >=3 runs is robust to one loaded rep, and the samples
+    make remaining spread visible in the artifacts).
 
     NOTE: building two *different* (fmt, channel) variants concurrently
     races on the shared obj/ directory — build sequentially.
@@ -177,8 +180,12 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
         if it:
             res["avg_iters"] = float(it[-1])
     if len(fps_samples) > 1:
-        res["frames_per_s"] = sum(fps_samples) / len(fps_samples)
-        res["fps_samples"] = [round(s, 4) for s in fps_samples]
+        s = sorted(fps_samples)
+        mid = len(s) // 2
+        res["frames_per_s"] = (
+            s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+        )
+        res["fps_samples"] = [round(x, 4) for x in fps_samples]
     cache[key] = res
     json.dump(cache, open(CACHE, "w"))
     return res
