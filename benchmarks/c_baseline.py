@@ -165,10 +165,16 @@ def measure(matrix: str, ebn0: float, frames: int = 2000, iters: int = 10,
                 timeout=timeout, text=True,
             )
         except subprocess.TimeoutExpired:
+            # keep already-completed reps (round-4 ADVICE): a timeout on
+            # rep 2/3 shouldn't discard a valid ~140 s sample
+            if fps_samples:
+                break
             return None
         dt = time.perf_counter() - t0
         m = re.findall(r"FER= (\d+) / (\d+)", out.stdout)
         if not m:
+            if fps_samples:
+                break
             return None
         errs, nsim = map(int, m[-1])
         fps_samples.append(nsim / dt)

@@ -64,8 +64,15 @@ class RotationPlan:
             group_coefs=tuple(gcoefs),
         )
 
-    def apply(self, x, direction: str):
-        """x: [F, P, q] -> rotated [F, P, q]. direction: 'in' | 'out'."""
+    def apply(self, x, direction: str, mode: str | None = None):
+        """x: [F, P, q] -> rotated [F, P, q]. direction: 'in' | 'out'.
+
+        ``mode`` selects the implementation (grouped | gather | matmul |
+        auto).  Callers that cache compiled programs must resolve it ONCE
+        at build time and pass it explicitly, so the value baked into the
+        trace is the value in their cache key (round-4 ADVICE: reading the
+        env here at trace time could diverge from a key computed earlier).
+        """
         import os
 
         import jax.numpy as jnp
@@ -73,7 +80,8 @@ class RotationPlan:
         # auto policy: grouped static perms win when there are few
         # coefficient groups; with many groups the slice/concat overhead
         # exceeds a single per-position gather (measured end-to-end).
-        mode = os.environ.get("NBLDPC_ROT", "auto")
+        if mode is None:
+            mode = os.environ.get("NBLDPC_ROT", "auto")
         if mode == "auto":
             mode = "grouped" if len(self.bounds) <= 24 else "gather"
         if mode == "matmul":

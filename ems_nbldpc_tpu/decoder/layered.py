@@ -89,6 +89,10 @@ def _make_dense_iteration(g: DeviceGraph, plans, nm, offset, cn, cn_impl,
     q = g.q
     truncate = cn == "ems" and nm < q
     topk_cn = use_topk(cn, nm, q, cn_impl)
+    # resolve the rotation mode NOW (build time), so the value baked into
+    # the traced program is exactly the value the stepper caches key on —
+    # not whatever the env holds when tracing eventually happens
+    rot_mode = os.environ.get("NBLDPC_ROT", "auto")
     compressed = storage == "compressed"
     if compressed:
         assert truncate and 0 < nm < q, (nm, q)
@@ -132,7 +136,7 @@ def _make_dense_iteration(g: DeviceGraph, plans, nm, offset, cn, cn_impl,
                 stor = (ctov,)
                 continue
             vr = rotplan.apply(
-                mvc_cn.reshape(f_dim, gdim * dcdim, -1), "in"
+                mvc_cn.reshape(f_dim, gdim * dcdim, -1), "in", rot_mode
             ).reshape(mvc_cn.shape)
             neutral = delta_message(vr.shape[:-1], q, vr.dtype)
             vr = jnp.where(valid[None, ..., None], vr, neutral)
@@ -164,7 +168,7 @@ def _make_dense_iteration(g: DeviceGraph, plans, nm, offset, cn, cn_impl,
             else:
                 mcv_r = fb_checknode_dense(vr)
             mcv = rotplan.apply(
-                mcv_r.reshape(f_dim, gdim * dcdim, -1), "out"
+                mcv_r.reshape(f_dim, gdim * dcdim, -1), "out", rot_mode
             ).reshape(mcv_r.shape)
             if compressed:
                 # compress: nm best + saturation — a lossless re-encoding

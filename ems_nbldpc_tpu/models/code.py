@@ -128,6 +128,16 @@ class NBCode:
             assert len(np.unique(cols)) == cols.size, "layer has column clash"
 
 
+# Version of the layer-coloring algorithm.  Bumped whenever the coloring
+# changes layer composition/order for EXISTING codes (the layered
+# fixed-point trajectory, and hence per-point FER/throughput, shifts with
+# the schedule).  Folded into sim.mc.config_key so resumed sweeps and
+# cross-round artifact comparisons never silently mix schedules
+# (round-4 ADVICE).  v1 = round-1 balanced greedy only; v2 = round-4
+# best-of(greedy, DSATUR+repair).
+COLORING_VERSION = 2
+
+
 def _color_rows(parsed: ParsedMatrix) -> tuple:
     """Partition rows into column-disjoint groups (super-layers).
 

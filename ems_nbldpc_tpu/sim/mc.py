@@ -10,6 +10,7 @@ accumulates scalar counters and applies the stop-at-K-erroneous-frames rule
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -116,8 +117,22 @@ def config_key(cfg: SimConfig) -> str:
         dec += (f":syn{d.syn_ncv},{d.syn_d},{d.syn_shape},"
                 f"{d.syn_max_configs},{int(d.syn_bayes)},"
                 f"{int(d.syn_presort)},{d.syn_sat}")
+    # Trace-time env knobs that change NUMERICS (not just speed) must be
+    # part of the key, or a --resume sweep run under a different setting
+    # would silently skip points recorded under the other one (round-4
+    # ADVICE, medium): LIST_FB=tree truncates at different points than
+    # chain (FER only CI-equivalent, not bit-identical), LIST_TRUNC=approx
+    # uses approx_min_k (recall < 1), and WHT / WHT_PRECISION change the
+    # SPA arithmetic path.  Pure-speed knobs (LISTSORT, LIST_CNSEL,
+    # LIST_DENSECV, SPA_GROUPED, LAYER_SCAN, ROT) are bit-identical by
+    # construction (tests/test_listcn.py, test_spa.py) and stay excluded.
+    env = (f"fb:{os.environ.get('NBLDPC_LIST_FB', 'chain')}"
+           f"|tr:{os.environ.get('NBLDPC_LIST_TRUNC', 'sort')}"
+           f"|wht:{os.environ.get('NBLDPC_WHT', '')}"
+           f":{os.environ.get('NBLDPC_WHT_PRECISION', '')}")
+    from ..models.code import COLORING_VERSION
     return (f"{chan}|{dec}|stop{cfg.stop_errors}|bch{cfg.fake_bch_t}"
-            f"|enc:{cfg.encode}")
+            f"|enc:{cfg.encode}|{env}|col{COLORING_VERSION}")
 
 
 def _popcount(x):
