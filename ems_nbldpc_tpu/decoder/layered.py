@@ -469,12 +469,20 @@ def _make_list_iteration(g: DeviceGraph, plans, nm: int, offset: float,
     layer plans instead of a Python-unrolled chain: an L-layer code's
     per-iteration program shrinks ~L-fold (Ahmed CPU jit 87 s -> 39 s),
     bit-identical math (tested).  Steady-state is a trade: the scan
-    blocks cross-layer fusion (CPU measured ~60% slower per iteration),
-    so "auto" currently stays unrolled; the scan is the tool for
-    compile-dominated settings and for shrinking the monolithic device
-    programs that crash the tunneled TPU worker (benchmarks/NOTES.md).
+    blocks cross-layer fusion (CPU measured ~60% slower per iteration).
+
+    "auto" (measured on device, round 5: benchmarks/results_r5/queue.log
+    ahmed_probe): on the TPU the scan's steady-state is indistinguishable
+    from unrolled at the Ahmed dc=20 shape (median 0.577 vs 0.571 s/iter,
+    sample ranges overlap) while trace+compile of the first step drops
+    433.6 s -> 49.5 s, so big sweeps (many sequential F/B merges) scan on
+    non-CPU backends; small sweeps and CPU stay unrolled.
     """
     mode = os.environ.get("NBLDPC_LAYER_SCAN", "auto")
+    if mode == "auto":
+        merges = sum(2 * (p["shape"][1] - 2) + 1 for p in plans)
+        big = merges >= 128  # Ahmed 9x37=333 -> scan; flagship 3x5=15 -> no
+        mode = "1" if big and jax.default_backend() != "cpu" else "0"
     use_scan = mode == "1" and len(plans) > 1
     if use_scan:
         return _make_list_iteration_scan(g, plans, nm, offset, nboper)

@@ -265,7 +265,13 @@ def fb_checknode_list(
         tests + benchmarks).  Built for wide rows (Ahmed dc=20: 19
         sequential merges/layer -> 6) where chain depth, not width,
         dominates on TPU.
-      - "auto": currently "chain" (flip per-device after the round-4 A/B).
+      - "auto": "chain" — SETTLED by the round-5 on-device same-window
+        A/B (benchmarks/results_r5/queue.log ahmed_probe): at the very
+        shape tree was built for (Ahmed dc=20, F=128) the tree measures
+        6.57 s/iter vs the chain's 0.568 — 11.5x SLOWER steady-state
+        (the 2*dc-wide merges blow up the per-merge sort volume far more
+        than the depth reduction saves).  Tree stays available as an
+        explicit knob only.
     """
     mode = os.environ.get("NBLDPC_LIST_FB", "auto")
     dc = bv.shape[-2]
