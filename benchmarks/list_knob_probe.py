@@ -6,8 +6,10 @@ Here every knob combo builds its own stepper (all knobs are trace-time
 and part of the stepper cache key) inside one process: one window, one
 table.
 
-Usage: python benchmarks/list_knob_probe.py [F] [matrix]
-       (defaults: F=128, Declercq_64800_R12_GF256, nm=32 nbOper=64 bf16)
+Usage: python benchmarks/list_knob_probe.py [F] [matrix] [combo ...]
+       (defaults: F=128, Declercq_64800_R12_GF256, all combos;
+        extra args select a combo subset by label, e.g. to fit a short
+        device window or skip arms known to crash the remote compiler)
 """
 import os
 import sys
@@ -40,7 +42,7 @@ COMBOS = [
 ]
 
 
-def main(F, matrix):
+def main(F, matrix, only=()):
     code = registry.get_code(matrix)
     g = DeviceGraph.from_code(code)
     sigma = sigma_for(ChannelSpec(), 1.8, code.rate)
@@ -48,6 +50,8 @@ def main(F, matrix):
     intr, _ = bpsk_awgn(jax.random.PRNGKey(0), cw, code.q, sigma)
     intr = jnp.asarray(np.asarray(intr))
     for label, knobs in COMBOS:
+        if only and label not in only:
+            continue
         old = {k: os.environ.get(k) for k in knobs}
         os.environ.update(knobs)
         try:
@@ -81,4 +85,4 @@ def main(F, matrix):
 if __name__ == "__main__":
     F = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     matrix = sys.argv[2] if len(sys.argv) > 2 else "Declercq_64800_R12_GF256"
-    main(F, matrix)
+    main(F, matrix, tuple(sys.argv[3:]))
