@@ -36,6 +36,8 @@ COMBOS = [
     ("trunc=topk", {"NBLDPC_LIST_TRUNC": "topk"}),
     ("listsort=flat", {"NBLDPC_LISTSORT": "flat"}),
     ("densecv", {"NBLDPC_LIST_DENSECV": "1"}),
+    ("both=topk", {"NBLDPC_LIST_CNSEL": "topk",
+                   "NBLDPC_LIST_TRUNC": "topk"}),
     ("fb=tree", {"NBLDPC_LIST_FB": "tree"}),
     ("tree+topk", {"NBLDPC_LIST_FB": "tree", "NBLDPC_LIST_CNSEL": "topk",
                    "NBLDPC_LIST_TRUNC": "topk"}),
