@@ -158,12 +158,18 @@ def grouped_wht(x: jax.Array, rotplan, gf, direction: str) -> jax.Array:
         are padded into fixed-size blocks, each block contracting against
         its own fused-Hadamard matrix gathered from a per-code stack
         (the grouped-GEMM / MoE dispatch pattern).
-      - "auto" (default): blocked above _BLOCKED_MIN_GROUPS groups.
+      - "auto" (default): concat — SETTLED by the round-5 on-device
+        same-window A/B (benchmarks/results_r5/queue.log ahmed_probe
+        spa arms): at the 33-group Ahmed shape, where blocked was
+        hypothesized to win, concat measures 0.187 s/iter vs blocked's
+        0.202 (-7.4%); XLA handles the ragged einsum+concat chain better
+        than the padded gather.  The round-3 "Ahmed SPA slowdown" that
+        motivated blocked was a degraded device window, not the concat
+        lowering.  blocked stays as an explicit knob.
     """
     mode = os.environ.get("NBLDPC_SPA_GROUPED", "auto")
     if mode == "auto":
-        mode = "blocked" if len(rotplan.bounds) > _BLOCKED_MIN_GROUPS \
-            else "concat"
+        mode = "concat"
     if mode == "blocked":
         return blocked_wht(x, rotplan, gf, direction)
     spec = "fpv,uv->fpu" if direction == "in" else "fpu,uv->fpv"
@@ -180,7 +186,6 @@ def grouped_wht(x: jax.Array, rotplan, gf, direction: str) -> jax.Array:
     return xs[:, rotplan.unsort_idx]
 
 
-_BLOCKED_MIN_GROUPS = int(os.environ.get("NBLDPC_SPA_BLOCKED_MIN", "16"))
 _BLOCK = 8  # positions per block; TPU sublane count
 
 
